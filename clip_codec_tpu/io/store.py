@@ -1,0 +1,104 @@
+"""On-disk "store" contract (the interface between pipeline stages).
+
+A store directory contains (reference ``cli/encode_images.py:77-85``):
+
+* ``manifest.json``   — list of ``{"image": <path>, "bitstream": <path>}``
+* ``codec_meta.npz``  — ``scale[D] float32``, ``zero[D] float32``, ``dim``
+* one ``.clp`` file per image (see :mod:`clip_codec_tpu.io.bitstream`)
+
+and, for the Stable-Diffusion latent path (reference
+``cli/precompute_latents.py:24-31``):
+
+* ``latents/<stem>.npz`` — key ``lat``, fp16 ``(4, H/8, W/8)`` VAE latents
+* ``manifest_latents.json`` — manifest records with an added ``latent`` field
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Dict, List, Optional, Union
+
+import numpy as np
+
+from .bitstream import read_bitstream, write_bitstream
+
+PathLike = Union[str, Path]
+
+
+def l2_normalize_np(x: np.ndarray, axis: int = -1, eps: float = 1e-9) -> np.ndarray:
+    """Host-side L2 normalization (reference ``train/diffusion_train.py:30-32``)."""
+    n = np.linalg.norm(x, axis=axis, keepdims=True)
+    return x / np.maximum(n, eps)
+
+
+@dataclass
+class Store:
+    """Read-side view of a store directory."""
+
+    store_dir: Path
+    manifest: List[Dict[str, str]]
+    scale: np.ndarray  # (D,) float32
+    zero: np.ndarray  # (D,) float32
+    dim: int
+
+    @classmethod
+    def open(cls, store_dir: PathLike, manifest_name: str = "manifest.json") -> "Store":
+        store_dir = Path(store_dir)
+        manifest = json.loads((store_dir / manifest_name).read_text(encoding="utf-8"))
+        meta = np.load(store_dir / "codec_meta.npz")
+        scale = meta["scale"].astype("float32")
+        zero = meta["zero"].astype("float32")
+        dim = int(meta["dim"]) if "dim" in meta else int(scale.shape[0])
+        return cls(store_dir=store_dir, manifest=manifest, scale=scale, zero=zero, dim=dim)
+
+    def __len__(self) -> int:
+        return len(self.manifest)
+
+    def decode_vector(self, i: int, renormalize: bool = True) -> np.ndarray:
+        """Read record *i*'s bitstream and dequantize (optionally L2-renorm)."""
+        q = read_bitstream(self.manifest[i]["bitstream"])
+        z = q.astype(np.float32) * self.scale + self.zero
+        if renormalize:
+            z = l2_normalize_np(z[None, :]).astype(np.float32)[0]
+        return z
+
+    def decode_all(self, renormalize: bool = True) -> np.ndarray:
+        """Dequantize every record into an ``(N, D)`` float32 matrix."""
+        return np.stack([self.decode_vector(i, renormalize) for i in range(len(self))])
+
+
+def write_store(
+    out_dir: PathLike,
+    feats: np.ndarray,
+    image_paths: List[str],
+    scale: np.ndarray,
+    zero: np.ndarray,
+    quantized: np.ndarray,
+    dim_dtype: str = "int32",
+) -> List[Dict[str, str]]:
+    """Write a full store: ``codec_meta.npz`` + per-image ``.clp`` + manifest.
+
+    ``dim_dtype`` mirrors the reference's two writers: ``int32`` for the CLIP
+    path (``cli/encode_images.py:77``) and ``int64`` scalar for the DINO path
+    (``cli/encode_images_dino.py:92-94``).
+    """
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    D = int(feats.shape[1])
+    dim = np.int32(D) if dim_dtype == "int32" else np.array(D, dtype=np.int64)
+    np.savez(
+        out / "codec_meta.npz",
+        scale=np.asarray(scale, dtype="float32"),
+        zero=np.asarray(zero, dtype="float32"),
+        dim=dim,
+    )
+    manifest: List[Dict[str, str]] = []
+    for p, q in zip(image_paths, quantized):
+        out_path = out / (Path(p).stem + ".clp")
+        write_bitstream(np.asarray(q, dtype=np.uint8).tobytes(), D, out_path)
+        manifest.append({"image": str(p), "bitstream": str(out_path)})
+    with open(out / "manifest.json", "w", encoding="utf-8") as f:
+        json.dump(manifest, f, ensure_ascii=False, indent=2)
+    return manifest

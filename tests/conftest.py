@@ -1,0 +1,21 @@
+"""Test configuration: force the JAX CPU backend with 8 virtual devices.
+
+The reference has no distributed tests (SURVEY.md §4); we use the standard JAX
+"multi-node without a cluster" fake backend — 8 virtual CPU devices — so mesh /
+sharding tests run anywhere. Real-TPU benchmarks live in bench.py, not tests.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

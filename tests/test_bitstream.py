@@ -1,0 +1,69 @@
+"""Golden tests for the ``.clp`` frame format (byte-exact vs the reference spec).
+
+The expected bytes are built from the published format definition — magic
+``CLPF`` + ``<I`` compressed length + zstd(level=22) payload (reference
+``io/bitstream.py:14-23``) — via an independent inline construction.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+import zstandard as zstd
+
+from clip_codec_tpu.io.bitstream import MAGIC, read_bitstream, write_bitstream, compress_frame, decompress_frame
+
+
+def _expected_frame(payload: bytes) -> bytes:
+    comp = zstd.ZstdCompressor(level=22).compress(payload)
+    return b"CLPF" + struct.pack("<I", len(comp)) + comp
+
+
+def test_magic_constant():
+    assert MAGIC == b"CLPF"
+
+
+def test_frame_bytes_match_spec(rng):
+    q = rng.integers(0, 256, size=512, dtype=np.uint8)
+    assert compress_frame(q.tobytes()) == _expected_frame(q.tobytes())
+
+
+def test_roundtrip_file(tmp_path, rng):
+    q = rng.integers(0, 256, size=768, dtype=np.uint8)
+    p = tmp_path / "x.clp"
+    write_bitstream(q.tobytes(), 768, p)
+    assert p.read_bytes() == _expected_frame(q.tobytes())
+    out = read_bitstream(p)
+    assert out.dtype == np.uint8
+    np.testing.assert_array_equal(out, q)
+
+
+def test_dim_not_serialized(tmp_path, rng):
+    # Reference quirk: dim is accepted but never written (io/bitstream.py:18).
+    q = rng.integers(0, 256, size=64, dtype=np.uint8)
+    p1, p2 = tmp_path / "a.clp", tmp_path / "b.clp"
+    write_bitstream(q.tobytes(), 64, p1)
+    write_bitstream(q.tobytes(), 9999, p2)
+    assert p1.read_bytes() == p2.read_bytes()
+
+
+def test_bad_magic_raises(tmp_path):
+    p = tmp_path / "bad.clp"
+    p.write_bytes(b"NOPE" + b"\x00" * 16)
+    with pytest.raises(ValueError):
+        read_bitstream(p)
+
+
+def test_compression_is_effective(tmp_path):
+    # Constant vectors compress far below raw size.
+    q = np.full(512, 7, dtype=np.uint8)
+    p = tmp_path / "c.clp"
+    write_bitstream(q.tobytes(), 512, p)
+    assert p.stat().st_size < 64
+
+
+def test_decompress_frame_matches_read(tmp_path, rng):
+    q = rng.integers(0, 256, size=512, dtype=np.uint8)
+    p = tmp_path / "d.clp"
+    write_bitstream(q.tobytes(), 512, p)
+    np.testing.assert_array_equal(decompress_frame(p.read_bytes()), q)
