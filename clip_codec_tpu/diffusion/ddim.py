@@ -1,0 +1,125 @@
+"""DDIM sampler (layer L3) compiled as one ``jax.lax.scan`` — zero host syncs.
+
+Behavior-parity port of the reference sampler (``diffusion/ddim.py:14-46``),
+including its three deliberate deviations from textbook strided DDIM
+(SURVEY.md §2.1, replicated exactly for output parity):
+
+(a) the "previous" alpha-bar is ``alphas_cumprod_prev[t]`` on the *full*
+    schedule — i.e. one fine step re-anchored at the current noise level — not
+    alpha-bar at the next coarse timestep (reference ``ddim.py:35``);
+(b) the final step forces ``alpha_bar_prev = 1.0`` (``ddim.py:35``);
+(c) the direction term is ``sqrt(al_bar_s - sigma_t**2) * eps`` instead of the
+    standard ``sqrt(1 - al_bar_s - sigma**2) * eps`` (``ddim.py:42``);
+(d) ``cfg_scale`` is accepted and ignored (``ddim.py:22``), kept for API parity.
+
+Known reference flaw, faithfully reproduced: for ``eta`` near 1 the term
+``al_bar_s - sigma**2`` in (c) goes negative at high-noise timesteps, so the
+output contains NaNs — verified against the actual reference (torch CPU)
+which NaNs identically for ``eta=1`` on both schedules. Use ``eta=0``
+(the reference's default everywhere) or small eta.
+
+Where the reference runs a Python loop with two host syncs per step
+(``int(t.item())`` and a tensor bool at ``ddim.py:32,41``), here the whole
+trajectory is a single scan over precomputed per-step fp32 coefficients: the
+update math stays in fp32 while the model may compute in bf16 internally.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .schedule import NoiseSchedule
+
+# model_fn(x_t: (B,H,W,C), z: (B,D), t: (B,) int32) -> eps: (B,H,W,C)
+ModelFn = Callable[[jax.Array, jax.Array, jax.Array], jax.Array]
+
+
+def ddim_timestep_grid(timesteps: int, steps: int) -> np.ndarray:
+    """The reference's timestep grid: ``linspace(T-1, 0, steps)`` truncated to
+    int (reference ``ddim.py:25``; torch's ``.long()`` truncates toward zero).
+    Computed on host — the grid is static under jit."""
+    return np.linspace(timesteps - 1, 0, steps).astype(np.float32).astype(np.int64)
+
+
+def _step_coefficients(sched: NoiseSchedule, steps: int) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-step ``(t, al_bar_t, al_bar_s)`` stacked for the scan (fp32).
+
+    The timestep grid is static (host numpy); the table lookups are traced
+    gathers so the schedule can be a jit argument.
+    """
+    ts = ddim_timestep_grid(sched.timesteps, steps)
+    t_stack = jnp.asarray(ts, dtype=jnp.int32)
+    al_bar_t = sched.alphas_cumprod[t_stack]
+    al_bar_s = sched.alphas_cumprod_prev[t_stack]
+    al_bar_s = al_bar_s.at[-1].set(1.0)  # final step forces alpha_bar_prev = 1 (ddim.py:35)
+    return t_stack, al_bar_t, al_bar_s
+
+
+@partial(jax.jit, static_argnames=("model_fn", "shape", "steps", "eta"))
+def ddim_sample(
+    model_fn: ModelFn,
+    sched: NoiseSchedule,
+    z: jax.Array,
+    shape: Tuple[int, ...],
+    steps: int = 50,
+    eta: float = 0.0,
+    rng: Optional[jax.Array] = None,
+    x_T: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Sample images of ``shape`` = (B, H, W, C) conditioned on ``z`` (B, D).
+
+    ``rng`` seeds both the initial noise (when ``x_T`` is None) and, for
+    ``eta > 0``, the per-step stochastic noise injection.
+    """
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    rng, init_rng = jax.random.split(rng)
+    x = jax.random.normal(init_rng, shape, dtype=jnp.float32) if x_T is None else x_T.astype(jnp.float32)
+
+    t_stack, abt_stack, abs_stack = _step_coefficients(sched, steps)
+
+    def step(carry, per_step):
+        x, rng = carry
+        t, abt, ab_s = per_step
+        t_b = jnp.full((shape[0],), t, dtype=jnp.int32)
+        eps = model_fn(x, z, t_b).astype(jnp.float32)
+        x0_pred = (x - jnp.sqrt(1.0 - abt) * eps) / jnp.sqrt(abt)
+        x0_pred = jnp.clip(x0_pred, -1.0, 1.0)
+        sigma = eta * jnp.sqrt((1.0 - ab_s) / (1.0 - abt) * (1.0 - abt / ab_s))
+        dir_xt = jnp.sqrt(ab_s - sigma**2) * eps  # nonstandard, see (c)
+        x_new = jnp.sqrt(ab_s) * x0_pred + dir_xt
+        if eta > 0:
+            rng, nrng = jax.random.split(rng)
+            noise = jax.random.normal(nrng, shape, dtype=jnp.float32)
+            x_new = x_new + jnp.where(sigma > 0, sigma, 0.0) * noise
+        return (x_new, rng), None
+
+    (x, _), _ = jax.lax.scan(step, (x, rng), (t_stack, abt_stack, abs_stack))
+    return x
+
+
+@dataclass
+class DDIMSampler:
+    """Class wrapper mirroring the reference API (``DDIMSampler(sch, eta).sample``)."""
+
+    sched: NoiseSchedule
+    eta: float = 0.0
+
+    def sample(
+        self,
+        model_fn: ModelFn,
+        z: jax.Array,
+        shape: Tuple[int, ...],
+        steps: int = 50,
+        cfg_scale: float = 1.0,
+        x_T: Optional[jax.Array] = None,
+        rng: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        del cfg_scale  # accepted and ignored, as in the reference (ddim.py:22)
+        return ddim_sample(model_fn, self.sched, z, tuple(shape), steps, self.eta, rng, x_T)

@@ -3,14 +3,24 @@
 The reference has no distributed tests (SURVEY.md §4); we use the standard JAX
 "multi-node without a cluster" fake backend — 8 virtual CPU devices — so mesh /
 sharding tests run anywhere. Real-TPU benchmarks live in bench.py, not tests.
+
+NOTE (axon environments): the TPU plugin may override ``JAX_PLATFORMS`` from
+sitecustomize, so the env var alone is not enough — we must also call
+``jax.config.update('jax_platforms', 'cpu')`` before any backend is touched.
+Without this, every jit in the test suite compiles remotely over the TPU
+tunnel (minutes per compile).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,133 @@
+"""DDIM sampler parity tests.
+
+The scan-based sampler must reproduce the reference's per-step update exactly
+(including its nonstandard deviations, SURVEY.md §2.1). Oracle 1 is a numpy
+per-step loop; Oracle 2 is the reference DDIMSampler itself (torch CPU),
+driven with an identical dummy model and identical starting noise.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from clip_codec_tpu.diffusion.ddim import DDIMSampler, ddim_sample, ddim_timestep_grid
+from clip_codec_tpu.diffusion.schedule import NoiseSchedule
+
+REF_SRC = Path("/root/reference/src")
+
+
+def test_timestep_grid_matches_torch_linspace():
+    torch = pytest.importorskip("torch")
+    for T, steps in [(1000, 50), (1000, 100), (1000, 250), (500, 7), (1000, 1)]:
+        ref = torch.linspace(T - 1, 0, steps).long().numpy()
+        np.testing.assert_array_equal(ddim_timestep_grid(T, steps), ref)
+
+
+def _dummy_model_np(x, z, t):
+    # Deterministic pseudo-model: mixes x, a z-derived bias, and t scaling.
+    zb = np.tanh(z.mean(axis=-1))[:, None, None, None]
+    tt = (t.astype(np.float32) / 1000.0)[:, None, None, None]
+    return 0.1 * x + zb * 0.05 + 0.3 * tt
+
+
+def _np_ddim(sched, z, shape, steps, x_init):
+    ac = np.asarray(sched.alphas_cumprod)
+    ac_prev = np.asarray(sched.alphas_cumprod_prev)
+    ts = ddim_timestep_grid(sched.timesteps, steps)
+    x = x_init.copy()
+    for i in range(steps):
+        t = ts[i]
+        t_b = np.full((shape[0],), t)
+        eps = _dummy_model_np(x, z, t_b)
+        abt = ac[t]
+        ab_s = ac_prev[t] if i < steps - 1 else 1.0
+        x0 = np.clip((x - np.sqrt(1 - abt) * eps) / np.sqrt(abt), -1, 1)
+        sigma = 0.0
+        x = np.sqrt(ab_s) * x0 + np.sqrt(ab_s - sigma**2) * eps
+    return x
+
+
+def test_scan_matches_numpy_loop(rng):
+    import jax.numpy as jnp
+
+    sched = NoiseSchedule.create(1000, "cosine")
+    B, H, W, C = 2, 8, 8, 3
+    z = rng.standard_normal((B, 512)).astype(np.float32)
+    x_init = rng.standard_normal((B, H, W, C)).astype(np.float32)
+
+    def model_fn(x, zz, t):
+        zb = jnp.tanh(zz.mean(axis=-1))[:, None, None, None]
+        tt = (t.astype(jnp.float32) / 1000.0)[:, None, None, None]
+        return 0.1 * x + zb * 0.05 + 0.3 * tt
+
+    out = np.asarray(ddim_sample(model_fn, sched, z, (B, H, W, C), steps=50, x_T=x_init))
+    expect = _np_ddim(sched, z, (B, H, W, C), 50, x_init)
+    np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-5)
+
+
+def test_eta_zero_is_deterministic(rng):
+    import jax
+
+    sched = NoiseSchedule.create(100, "linear")
+    z = rng.standard_normal((1, 16)).astype(np.float32)
+
+    def model_fn(x, zz, t):
+        return 0.05 * x
+
+    a = ddim_sample(model_fn, sched, z, (1, 4, 4, 3), steps=10, rng=jax.random.PRNGKey(1))
+    b = ddim_sample(model_fn, sched, z, (1, 4, 4, 3), steps=10, rng=jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_eta_positive_changes_output(rng):
+    import jax
+
+    sched = NoiseSchedule.create(100, "linear")
+    z = rng.standard_normal((1, 16)).astype(np.float32)
+
+    def model_fn(x, zz, t):
+        return 0.05 * x
+
+    det = ddim_sample(model_fn, sched, z, (1, 4, 4, 3), steps=10, eta=0.0, rng=jax.random.PRNGKey(2))
+    sto = ddim_sample(model_fn, sched, z, (1, 4, 4, 3), steps=10, eta=1.0, rng=jax.random.PRNGKey(2))
+    assert not np.allclose(np.asarray(det), np.asarray(sto))
+
+
+@pytest.mark.skipif(not REF_SRC.exists(), reason="reference checkout not available")
+def test_parity_vs_reference_sampler(rng):
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+
+    if str(REF_SRC) not in sys.path:
+        sys.path.insert(0, str(REF_SRC))
+    from clip_feature_codec.diffusion.ddim import DDIMSampler as RefDDIM
+    from clip_feature_codec.diffusion.scheduler import NoiseScheduler as RefSched
+
+    B, C, H, W = 2, 3, 8, 8
+    z = rng.standard_normal((B, 32)).astype(np.float32)
+    x_init = rng.standard_normal((B, C, H, W)).astype(np.float32)
+
+    class TorchDummy(torch.nn.Module):
+        def forward(self, x, zz, t):
+            zb = torch.tanh(zz.mean(dim=-1))[:, None, None, None]
+            tt = (t.float() / 1000.0)[:, None, None, None]
+            return 0.1 * x + zb * 0.05 + 0.3 * tt
+
+    ref_sched = RefSched(timesteps=1000, schedule="cosine", device="cpu")
+    ref_out = RefDDIM(ref_sched, eta=0.0).sample(
+        TorchDummy(), torch.from_numpy(z), (B, C, H, W), steps=50,
+        x_T=torch.from_numpy(x_init),
+    ).numpy()
+
+    def model_fn(x, zz, t):  # NHWC
+        zb = jnp.tanh(zz.mean(axis=-1))[:, None, None, None]
+        tt = (t.astype(jnp.float32) / 1000.0)[:, None, None, None]
+        return 0.1 * x + zb * 0.05 + 0.3 * tt
+
+    sched = NoiseSchedule.create(1000, "cosine")
+    ours = DDIMSampler(sched, eta=0.0).sample(
+        model_fn, z, (B, H, W, C), steps=50, x_T=x_init.transpose(0, 2, 3, 1)
+    )
+    np.testing.assert_allclose(np.asarray(ours).transpose(0, 3, 1, 2), ref_out, rtol=1e-4, atol=1e-5)
