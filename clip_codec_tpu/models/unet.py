@@ -1,0 +1,116 @@
+"""CLIP-conditioned U-Net (layer L4) in Flax linen, NHWC, bf16-ready.
+
+Topology-parity rebuild of the reference ``CLIPCondUNet``
+(``models/unet.py:42-106``):
+
+* conditioning: sinusoidal timestep embedding (cos||sin order, odd-dim zero
+  pad, ``unet.py:22-39``) -> MLP, plus Linear+SiLU projection of the CLIP
+  vector; the two are summed into one FiLM conditioning vector ``h``;
+* encoder: per ``ch_mult`` stage, 2 ResBlocks then a stride-2 3x3 conv that
+  also multiplies channels (``unet.py:61-64``); the skip is captured *before*
+  the downsample (``unet.py:93``);
+* middle: 2 ResBlocks; decoder: per stage 2 ResBlocks then a 4x4/stride-2
+  transposed conv halving channels, with **additive** (not concat) skips
+  applied after each up-stage (``unet.py:99-104``);
+* head: GroupNorm(8) then 3x3 conv, **no activation** (``unet.py:78-79,105``);
+* no attention anywhere (``models/unet.py`` has none), fully convolutional —
+  sampling resolution is a free parameter.
+
+TPU-first differences: NHWC layout, fp32 params with a ``dtype`` knob for
+bf16 activations, fused GroupNorm+SiLU fusion points, and
+``jax.checkpoint``-friendly pure-functional structure. Weight conversion from
+the reference's torch state_dicts lives in ``clip_codec_tpu/weights/convert.py``
+and exact-parity is asserted in ``tests/test_model_parity.py``.
+
+Default config (base=128, ch_mult=(1,2,2)) matches the reference's hard-coded
+training/inference config (``train/diffusion_train.py:103``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .blocks import FiLM, ResBlock
+
+Dtype = Any
+
+
+def timestep_embedding(t: jax.Array, dim: int, max_period: int = 10000) -> jax.Array:
+    """Sinusoidal timestep embedding, fp32, cos||sin order with odd-dim pad
+    (reference ``models/unet.py:22-39``)."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class CLIPCondUNet(nn.Module):
+    """FiLM-conditioned fully-convolutional U-Net predicting eps(x_t, z, t)."""
+
+    z_dim: int = 512
+    base: int = 128
+    ch_mult: Tuple[int, ...] = (1, 2, 2)
+    time_dim: int = 256
+    img_ch: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_t: jax.Array, z: jax.Array, t: jax.Array) -> jax.Array:
+        """x_t: (B, H, W, C) NHWC; z: (B, z_dim); t: (B,) int -> eps (B, H, W, C)."""
+        # Conditioning vector h = MLP(t_emb) + SiLU(Linear(z)).
+        temb = timestep_embedding(t, self.time_dim).astype(self.dtype)
+        temb = nn.Dense(self.time_dim * 4, dtype=self.dtype, name="time_proj_0")(temb)
+        temb = nn.silu(temb)
+        temb = nn.Dense(self.time_dim, dtype=self.dtype, name="time_proj_2")(temb)
+        zemb = nn.Dense(self.time_dim, dtype=self.dtype, name="z_proj_0")(z.astype(self.dtype))
+        zemb = nn.silu(zemb)
+        h = temb + zemb
+
+        x = nn.Conv(self.base, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="in_conv")(
+            x_t.astype(self.dtype)
+        )
+
+        # Encoder: skip captured after the 2 ResBlocks, before downsample.
+        skips = []
+        ch = self.base
+        for i, m in enumerate(self.ch_mult):
+            x = ResBlock(ch, dtype=self.dtype, name=f"down_{i}_rb0")(x, h)
+            x = ResBlock(ch, dtype=self.dtype, name=f"down_{i}_rb1")(x, h)
+            skips.append(x)
+            x = nn.Conv(
+                ch * m, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                dtype=self.dtype, name=f"down_{i}_ds",
+            )(x)
+            ch = ch * m
+
+        x = ResBlock(ch, dtype=self.dtype, name="mid1")(x, h)
+        x = ResBlock(ch, dtype=self.dtype, name="mid2")(x, h)
+
+        # Decoder with additive skips after each up-stage.
+        for j, m in enumerate(reversed(self.ch_mult)):
+            x = ResBlock(ch, dtype=self.dtype, name=f"up_{j}_rb0")(x, h)
+            x = ResBlock(ch, dtype=self.dtype, name=f"up_{j}_rb1")(x, h)
+            # padding (2,2) + transpose_kernel=True == torch ConvTranspose2d
+            # (k=4, s=2, p=1): exact 2x upsample, numerically verified.
+            x = nn.ConvTranspose(
+                ch // m, (4, 4), strides=(2, 2), padding=((2, 2), (2, 2)),
+                transpose_kernel=True, dtype=self.dtype, name=f"up_{j}_us",
+            )(x)
+            ch = ch // m
+            x = x + skips.pop()
+
+        from ..ops.groupnorm import group_norm
+
+        scale = self.param("out_norm_scale", nn.initializers.ones, (ch,), jnp.float32)
+        bias = self.param("out_norm_bias", nn.initializers.zeros, (ch,), jnp.float32)
+        x = group_norm(x, (scale, bias), groups=8)
+        x = nn.Conv(self.img_ch, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="out")(x)
+        return x

@@ -1,0 +1,16 @@
+"""TPU op library: fusion points with optional Pallas kernels.
+
+The reference has no custom kernels (100% torch ops, SURVEY.md §2.4); here the
+hot elementwise chains get explicit fusion points so a Pallas implementation
+can be swapped in where profiling shows it beats XLA's automatic fusion.
+"""
+
+from .groupnorm import group_norm, group_norm_silu, set_pallas
+
+
+def enable_pallas(enabled: bool = True) -> None:
+    """Process-wide switch for Pallas kernels on the hot ops (TPU only)."""
+    set_pallas(enabled)
+
+
+__all__ = ["group_norm", "group_norm_silu", "enable_pallas", "set_pallas"]
