@@ -1,0 +1,10 @@
+from .diffusion_train import DiffusionTrainConfig, make_train_step, train_diffusion
+from .train_decoder import reconstruct_image_from_bitstream, train_direct_decoder
+
+__all__ = [
+    "DiffusionTrainConfig",
+    "make_train_step",
+    "train_diffusion",
+    "reconstruct_image_from_bitstream",
+    "train_direct_decoder",
+]

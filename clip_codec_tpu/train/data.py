@@ -1,0 +1,75 @@
+"""Host-side data pipeline for training from a store (layer L5 input).
+
+Equivalent of the reference ``StoreDataset`` + torch DataLoader
+(``train/diffusion_train.py:36-57,101``) re-designed for a jitted train loop:
+
+* embeddings are dequantized **once up front** (they are a few hundred KB for
+  any realistic store) instead of per-``__getitem__``;
+* images are decoded/resized with PIL on host, BICUBIC, scaled to ``[-1, 1]``,
+  and emitted **NHWC** float32;
+* batches are fixed-shape: the last partial batch is padded and a weight mask
+  is attached, so the jitted step never recompiles and loss averages match
+  the unpadded math exactly.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Iterator, List, Optional, Tuple, Union
+
+import numpy as np
+from PIL import Image
+
+from ..io.store import Store
+
+PathLike = Union[str, Path]
+
+
+def load_image_m11(path: PathLike, out_size: int) -> np.ndarray:
+    """RGB image -> (H, W, 3) float32 in [-1, 1], BICUBIC resize
+    (reference semantics, ``train/diffusion_train.py:55-57``)."""
+    img = Image.open(path).convert("RGB").resize((out_size, out_size), Image.BICUBIC)
+    return np.asarray(img, dtype=np.float32) / 127.5 - 1.0
+
+
+@dataclass
+class Batch:
+    x0: np.ndarray  # (B, H, W, 3) float32 in [-1, 1]
+    z: np.ndarray  # (B, D) float32, L2-normalized
+    weight: np.ndarray  # (B,) float32, 0.0 marks padding
+
+
+class StoreData:
+    """Materialized store view feeding the train loop."""
+
+    def __init__(self, store_dir: PathLike, out_size: int = 256, manifest_name: str = "manifest.json") -> None:
+        self.store = Store.open(store_dir, manifest_name)
+        self.out_size = out_size
+        self.z = self.store.decode_all(renormalize=True)  # (N, D)
+        self.image_paths = [rec["image"] for rec in self.store.manifest]
+
+    def __len__(self) -> int:
+        return len(self.image_paths)
+
+    @property
+    def z_dim(self) -> int:
+        return int(self.z.shape[1])
+
+    def _load_images(self, idx: np.ndarray) -> np.ndarray:
+        return np.stack([load_image_m11(self.image_paths[i], self.out_size) for i in idx])
+
+    def epoch(self, batch_size: int, rng: np.random.Generator, shuffle: bool = True) -> Iterator[Batch]:
+        """Fixed-shape batches over one epoch; pads the tail with repeats and
+        zero weights."""
+        n = len(self)
+        order = rng.permutation(n) if shuffle else np.arange(n)
+        for s in range(0, n, batch_size):
+            idx = order[s : s + batch_size]
+            w = np.ones(len(idx), dtype=np.float32)
+            if len(idx) < batch_size:
+                pad = batch_size - len(idx)
+                idx = np.concatenate([idx, idx[np.zeros(pad, dtype=int)]])
+                w = np.concatenate([w, np.zeros(pad, dtype=np.float32)])
+            yield Batch(x0=self._load_images(idx), z=self.z[idx], weight=w)
