@@ -1,0 +1,28 @@
+"""Shared CLI plumbing: device-flag handling and image discovery."""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List
+
+
+def apply_device_flag(device: str) -> None:
+    """Map the reference's ``--device cuda|cpu`` flag onto JAX platforms:
+    ``cpu`` forces the CPU backend, anything else keeps the default
+    accelerator (TPU). Must run before first backend use."""
+    import jax
+
+    if device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+
+def default_device() -> str:
+    return "tpu"
+
+
+IMAGE_EXTS = {".jpg", ".jpeg", ".png", ".webp", ".bmp"}
+
+
+def rglob_images(img_dir: str) -> List[str]:
+    """Recursive image discovery (reference ``cli/encode_images.py:71``)."""
+    return [str(p) for p in Path(img_dir).rglob("*") if p.suffix.lower() in IMAGE_EXTS]

@@ -1,0 +1,100 @@
+"""Evaluate reconstruction quality over a whole store.
+
+Flag-compatible with the reference (``cli/eval.py:34-42``): ``--store_dir
+--weights --size --steps --eta --device --out_json``; same stdout aggregate
+format and NaN-skipping means (``cli/eval.py:77-83``).
+
+TPU-first redesign of the reference's severe serialization (SURVEY.md §3.4 —
+1 image per DDIM batch, LPIPS/CLIP models re-instantiated per image): here
+reconstruction runs in device batches through one compiled sampler, PSNR/SSIM
+are computed batched on device, and the optional LPIPS/CLIP scorers load once.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+from ._common import apply_device_flag, default_device
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="Evaluate reconstruction quality on a store of images.")
+    ap.add_argument("--store_dir", type=str, required=True)
+    ap.add_argument("--weights", type=str, required=True)
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--eta", type=float, default=0.0)
+    ap.add_argument("--device", type=str, default=default_device())
+    ap.add_argument("--out_json", type=str, default=None)
+    ap.add_argument("--batch_size", type=int, default=8, help="DDIM reconstruction batch")
+    ap.add_argument("--base", type=int, default=128)
+    ap.add_argument("--ch_mult", type=str, default="1,2,2", help="U-Net channel multipliers")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+    apply_device_flag(args.device)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..diffusion import DDIMSampler, NoiseSchedule
+    from ..eval.metrics import clip_similarity, lpips_distance, psnr_batch, ssim_batch
+    from ..eval.metrics import _default_clip_encoder, _default_lpips
+    from ..models import CLIPCondUNet
+    from ..train.data import load_image_m11
+    from ..io.store import Store
+    from ..utils.checkpoint import load_unet_checkpoint
+
+    store = Store.open(args.store_dir)
+    ch_mult = tuple(int(c) for c in args.ch_mult.split(","))
+    params = load_unet_checkpoint(args.weights, ch_mult)
+    net = CLIPCondUNet(z_dim=store.dim, base=args.base, ch_mult=ch_mult, img_ch=3, dtype=jnp.bfloat16)
+    sched = NoiseSchedule.create(1000, "cosine")
+    sampler = DDIMSampler(sched, eta=args.eta)
+    model_fn = lambda xt, zz, t: net.apply({"params": params}, xt, zz, t)
+
+    lpips_model = _default_lpips()
+    clip_enc = _default_clip_encoder()
+
+    metrics = []
+    B = args.batch_size
+    n = len(store)
+    rng = jax.random.PRNGKey(args.seed)
+    for s in range(0, n, B):
+        idx = list(range(s, min(s + B, n)))
+        z = np.stack([store.decode_vector(i) for i in idx])
+        zb = np.concatenate([z, np.zeros((B - len(idx), z.shape[1]), np.float32)]) if len(idx) < B else z
+        rng, srng = jax.random.split(rng)
+        x = sampler.sample(model_fn, jnp.asarray(zb), (B, args.size, args.size, 3), steps=args.steps, rng=srng)
+        recon = np.asarray(jnp.clip(x, -1, 1))[: len(idx)]
+        orig = np.stack([load_image_m11(store.manifest[i]["image"], args.size) for i in idx])
+        ps = np.asarray(psnr_batch(jnp.asarray(orig), jnp.asarray(recon)))
+        ss = np.asarray(ssim_batch(jnp.asarray(orig), jnp.asarray(recon)))
+        for j, i in enumerate(idx):
+            o_chw = orig[j].transpose(2, 0, 1)
+            r_chw = recon[j].transpose(2, 0, 1)
+            metrics.append({
+                "image": store.manifest[i]["image"],
+                "psnr": float(ps[j]),
+                "ssim": float(ss[j]),
+                "lpips": lpips_distance(o_chw, r_chw, lpips_model=lpips_model),
+                "clip_sim": clip_similarity(o_chw, r_chw, encoder=clip_enc),
+            })
+
+    def _agg(key):
+        vals = [m[key] for m in metrics if not np.isnan(m[key])]
+        return float(np.mean(vals)) if vals else float("nan")
+
+    print(f"Average PSNR: {_agg('psnr'):.2f} dB")
+    print(f"Average SSIM: {_agg('ssim'):.4f}")
+    print(f"Average LPIPS: {_agg('lpips'):.4f}")
+    print(f"Average CLIP similarity: {_agg('clip_sim'):.4f}")
+    if args.out_json:
+        with open(args.out_json, "w", encoding="utf-8") as f:
+            json.dump(metrics, f, ensure_ascii=False, indent=2)
+
+
+if __name__ == "__main__":
+    main()

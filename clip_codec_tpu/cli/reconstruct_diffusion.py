@@ -1,0 +1,59 @@
+"""Reconstruct an image from a ``.clp`` bitstream via DDIM sampling.
+
+Flag-compatible with the reference (``cli/reconstruct_diffusion.py:27-36``):
+``--store_dir --bitstream --weights --out --steps --eta --size --device``.
+``--weights`` accepts our msgpack checkpoints or a reference torch ``.pt``
+state_dict (converted transparently). The 50-step loop runs as one
+``lax.scan`` on device — the reference's per-step host syncs
+(``ddim.py:32,41``) do not exist here.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+from ._common import apply_device_flag, default_device
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="Reconstruct an image from a .clp bitstream via DDIM sampling.")
+    ap.add_argument("--store_dir", type=str, required=True)
+    ap.add_argument("--bitstream", type=str, required=True)
+    ap.add_argument("--weights", type=str, required=True)
+    ap.add_argument("--out", type=str, default="recon.png")
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--eta", type=float, default=0.0)
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--device", type=str, default=default_device())
+    ap.add_argument("--base", type=int, default=128, help="U-Net base width (reference hard-codes 128)")
+    ap.add_argument("--ch_mult", type=str, default="1,2,2", help="U-Net channel multipliers")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+    apply_device_flag(args.device)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..diffusion import DDIMSampler, NoiseSchedule
+    from ..models import CLIPCondUNet
+    from ..train.train_decoder import decode_embedding, to_pil
+    from ..utils.checkpoint import load_unet_checkpoint
+
+    ch_mult = tuple(int(c) for c in args.ch_mult.split(","))
+    z = jnp.asarray(decode_embedding(args.bitstream, args.store_dir))
+    params = load_unet_checkpoint(args.weights, ch_mult)
+    net = CLIPCondUNet(z_dim=z.shape[1], base=args.base, ch_mult=ch_mult, img_ch=3, dtype=jnp.bfloat16)
+    sched = NoiseSchedule.create(1000, "cosine")
+    sampler = DDIMSampler(sched, eta=args.eta)
+    x = sampler.sample(
+        lambda xt, zz, t: net.apply({"params": params}, xt, zz, t),
+        z, (1, args.size, args.size, 3), steps=args.steps, rng=jax.random.PRNGKey(args.seed),
+    )
+    to_pil(np.asarray(jnp.clip(x[0], -1, 1))).save(args.out)
+    print(f"Saved to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

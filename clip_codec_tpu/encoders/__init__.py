@@ -1,0 +1,188 @@
+"""High-level encoder API (layer L2): images/text -> L2-normalized embeddings.
+
+Pretrained weights are NOT bundled (zero-egress build). Provide converted
+checkpoints via arguments or environment variables:
+
+* ``CLIP_CODEC_CLIP_WEIGHTS`` — CLIP ViT-B/32 checkpoint (HF ``CLIPModel``
+  ``.bin``/``.safetensors`` or OpenAI/open_clip ``.pt``; auto-detected), and
+  ``CLIP_BPE_PATH`` for the text tokenizer merges;
+* ``CLIP_CODEC_DINO_WEIGHTS`` — HF ``Dinov2Model`` checkpoint.
+
+Missing weights raise a friendly RuntimeError, mirroring how the reference
+gates its optional heavy deps (``models/sd_decoder.py:6-9``).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from .clip import CLIPConfig, CLIPModel, VIT_B_32, preprocess_pil
+from .dino import DINOV2_BASE, DinoConfig, DinoV2, convert_dino_hf, preprocess_dino
+from .tokenizer import CLIPTokenizer
+
+__all__ = [
+    "CLIPConfig", "CLIPModel", "VIT_B_32", "preprocess_pil",
+    "DinoConfig", "DinoV2", "DINOV2_BASE", "preprocess_dino",
+    "CLIPTokenizer", "ClipEncoder", "DinoEncoder",
+]
+
+
+def _require(path: Optional[str], env: str, what: str) -> Path:
+    path = path or os.environ.get(env)
+    if not path or not Path(path).exists():
+        raise RuntimeError(
+            f"{what} weights not found. Convert a pretrained checkpoint and set "
+            f"{env}=<path> (see clip_codec_tpu/weights/)."
+        )
+    return Path(path)
+
+
+class ClipEncoder:
+    """CLIP ViT-B/32 encode path: batched bf16 image encode + text encode,
+    both emitting L2-normalized fp32 embeddings (the reference's
+    ``encode_images_to_clip`` semantics, ``cli/encode_images.py:30-55``)."""
+
+    def __init__(
+        self,
+        weights_path: Optional[str] = None,
+        cfg: CLIPConfig = VIT_B_32,
+        bpe_path: Optional[str] = None,
+        dtype=jnp.bfloat16,
+    ) -> None:
+        from ..weights.convert_clip import load_clip_params
+
+        wpath = _require(weights_path, "CLIP_CODEC_CLIP_WEIGHTS", "CLIP")
+        self.cfg = cfg
+        self.model = CLIPModel(cfg, dtype=dtype)
+        self.params = {"params": load_clip_params(str(wpath), cfg.vision_depth, cfg.text_depth)}
+        self._bpe_path = bpe_path
+        self._tokenizer: Optional[CLIPTokenizer] = None
+
+        @jax.jit
+        def _embed_images(pixels):
+            z = self.model.apply(self.params, pixels, method=CLIPModel.encode_image)
+            z = z.astype(jnp.float32)
+            return z / jnp.linalg.norm(z, axis=-1, keepdims=True)
+
+        @jax.jit
+        def _embed_tokens(tokens):
+            z = self.model.apply(self.params, tokens, method=CLIPModel.encode_text)
+            z = z.astype(jnp.float32)
+            return z / jnp.linalg.norm(z, axis=-1, keepdims=True)
+
+        self._embed_images = _embed_images
+        self._embed_tokens = _embed_tokens
+
+    @property
+    def tokenizer(self) -> CLIPTokenizer:
+        if self._tokenizer is None:
+            self._tokenizer = CLIPTokenizer(self._bpe_path, self.cfg.context_length)
+        return self._tokenizer
+
+    def encode_images(
+        self, paths: Sequence[str], batch_size: int = 64, verbose: bool = True
+    ) -> Tuple[np.ndarray, List[str]]:
+        """Encode image files; corrupt files are silently skipped
+        (reference ``cli/encode_images.py:42-43``). Returns (Z, kept_paths)."""
+        zs: List[np.ndarray] = []
+        kept: List[str] = []
+        batch: List[np.ndarray] = []
+        bpaths: List[str] = []
+
+        def flush():
+            if not batch:
+                return
+            x = np.stack(batch)
+            n = x.shape[0]
+            if n < batch_size:  # pad to fixed shape, drop pad rows after
+                x = np.concatenate([x, np.zeros((batch_size - n,) + x.shape[1:], x.dtype)])
+            z = np.asarray(self._embed_images(jnp.asarray(x)))[:n]
+            zs.append(z)
+            kept.extend(bpaths)
+            batch.clear()
+            bpaths.clear()
+
+        for p in paths:
+            try:
+                img = Image.open(p)
+                batch.append(preprocess_pil(img, self.cfg.image_size))
+                bpaths.append(str(p))
+            except Exception:
+                continue
+            if len(batch) == batch_size:
+                flush()
+        flush()
+        if not zs:
+            return np.zeros((0, self.cfg.embed_dim), dtype=np.float32), []
+        return np.concatenate(zs).astype(np.float32), kept
+
+    def encode_image_array(self, images_hwc01: np.ndarray) -> np.ndarray:
+        """Encode already-loaded [0,1] uint8/float HWC images (applies CLIP
+        normalize + resize via preprocess semantics is caller's duty)."""
+        return np.asarray(self._embed_images(jnp.asarray(images_hwc01)))
+
+    def encode_text(self, texts) -> np.ndarray:
+        tokens = self.tokenizer(texts)
+        return np.asarray(self._embed_tokens(jnp.asarray(tokens)))
+
+
+class DinoEncoder:
+    """DINOv2 encode path (reference ``cli/encode_images_dino.py:20-42``),
+    batched instead of the reference's per-image loop."""
+
+    def __init__(self, weights_path: Optional[str] = None, cfg: DinoConfig = DINOV2_BASE, dtype=jnp.bfloat16):
+        wpath = _require(weights_path, "CLIP_CODEC_DINO_WEIGHTS", "DINOv2")
+        self.cfg = cfg
+        self.model = DinoV2(cfg, dtype=dtype)
+        if str(wpath).endswith(".safetensors"):
+            from safetensors.numpy import load_file
+
+            sd = load_file(str(wpath))
+        else:
+            import torch
+
+            sd = torch.load(wpath, map_location="cpu", weights_only=True)
+        self.params = {"params": convert_dino_hf(sd, cfg.depth)}
+
+        @jax.jit
+        def _embed(pixels):
+            z = self.model.apply(self.params, pixels).astype(jnp.float32)
+            return z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-9)
+
+        self._embed = _embed
+
+    def encode_images(self, paths: Sequence[str], batch_size: int = 16) -> Tuple[np.ndarray, List[str]]:
+        zs, kept, batch, bpaths = [], [], [], []
+
+        def flush():
+            if not batch:
+                return
+            x = np.stack(batch)
+            n = x.shape[0]
+            if n < batch_size:
+                x = np.concatenate([x, np.zeros((batch_size - n,) + x.shape[1:], x.dtype)])
+            zs.append(np.asarray(self._embed(jnp.asarray(x)))[:n])
+            kept.extend(bpaths)
+            batch.clear()
+            bpaths.clear()
+
+        for p in paths:
+            try:
+                arr = np.asarray(Image.open(p).convert("RGB"), dtype=np.float32) / 255.0
+                batch.append(preprocess_dino(arr, self.cfg.image_size))
+                bpaths.append(str(p))
+            except Exception:
+                continue
+            if len(batch) == batch_size:
+                flush()
+        flush()
+        if not zs:
+            return np.zeros((0, self.cfg.dim), dtype=np.float32), []
+        return np.concatenate(zs).astype(np.float32), kept

@@ -1,0 +1,117 @@
+"""CLI plumbing tests: flag surfaces, full reconstruct/eval flows on a tiny
+trained model, graceful gating when pretrained weights are absent."""
+
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from clip_codec_tpu.codecs.quantizer import fit_affine, quantize
+from clip_codec_tpu.io.store import write_store
+from clip_codec_tpu.train import DiffusionTrainConfig, train_diffusion
+
+
+@pytest.fixture(scope="module")
+def trained_store(tmp_path_factory):
+    """Tiny store + trained tiny UNet checkpoint, shared across CLI tests."""
+    rng = np.random.default_rng(0)
+    tmp = tmp_path_factory.mktemp("cli")
+    img_dir = tmp / "imgs"
+    img_dir.mkdir()
+    paths = []
+    for i in range(4):
+        p = img_dir / f"im{i}.png"
+        Image.fromarray(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)).save(p)
+        paths.append(str(p))
+    feats = rng.standard_normal((4, 16)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    scale, zero = fit_affine(feats)
+    q = np.asarray(quantize(feats, scale, zero))
+    store = tmp / "store"
+    write_store(store, feats, paths, np.asarray(scale), np.asarray(zero), q)
+    cfg = DiffusionTrainConfig(out_size=16, epochs=1, batch_size=4, timesteps=50,
+                               base=8, ch_mult=(1, 2), bf16=False)
+    ckpt = train_diffusion(store, config=cfg, save_dir=tmp / "ckpt")
+    return store, ckpt, tmp
+
+
+def _run_cli(monkeypatch, module_main, argv):
+    monkeypatch.setattr(sys, "argv", ["prog"] + argv)
+    module_main()
+
+
+def test_reconstruct_cli(trained_store, monkeypatch):
+    from clip_codec_tpu.cli.reconstruct_diffusion import main
+
+    store, ckpt, tmp = trained_store
+    out = tmp / "recon.png"
+    _run_cli(monkeypatch, main, [
+        "--store_dir", str(store), "--bitstream", str(store / "im0.clp"),
+        "--weights", str(ckpt), "--out", str(out), "--steps", "5",
+        "--size", "16", "--device", "cpu", "--base", "8", "--ch_mult", "1,2",
+    ])
+    img = Image.open(out)
+    assert img.size == (16, 16)
+
+
+def test_eval_cli(trained_store, monkeypatch, capsys):
+    from clip_codec_tpu.cli.eval import main
+
+    store, ckpt, tmp = trained_store
+    out_json = tmp / "metrics.json"
+    _run_cli(monkeypatch, main, [
+        "--store_dir", str(store), "--weights", str(ckpt), "--size", "16",
+        "--steps", "5", "--device", "cpu", "--base", "8", "--ch_mult", "1,2",
+        "--batch_size", "3", "--out_json", str(out_json),
+    ])
+    out = capsys.readouterr().out
+    assert "Average PSNR:" in out
+    assert "Average SSIM:" in out
+    assert "Average LPIPS: nan" in out  # gated: no LPIPS weights in this env
+    recs = json.loads(out_json.read_text())
+    assert len(recs) == 4
+    assert set(recs[0].keys()) == {"image", "psnr", "ssim", "lpips", "clip_sim"}
+    assert all(np.isfinite(r["psnr"]) for r in recs)
+
+
+def test_encode_cli_gated_without_weights(trained_store, monkeypatch):
+    from clip_codec_tpu.cli.encode_images import main
+
+    store, ckpt, tmp = trained_store
+    monkeypatch.delenv("CLIP_CODEC_CLIP_WEIGHTS", raising=False)
+    with pytest.raises(RuntimeError, match="CLIP_CODEC_CLIP_WEIGHTS"):
+        _run_cli(monkeypatch, main, [
+            "--img_dir", str(tmp / "imgs"), "--out_dir", str(tmp / "enc"), "--device", "cpu",
+        ])
+
+
+def test_encode_cli_rejects_unknown_model(trained_store, monkeypatch):
+    from clip_codec_tpu.cli.encode_images import main
+
+    store, ckpt, tmp = trained_store
+    with pytest.raises(SystemExit, match="ViT-B-32"):
+        _run_cli(monkeypatch, main, [
+            "--img_dir", str(tmp / "imgs"), "--out_dir", str(tmp / "enc"),
+            "--model", "ViT-L-14", "--device", "cpu",
+        ])
+
+
+def test_search_text_feature_fallback(trained_store):
+    """load_features decodes bitstreams when decoded.npy is absent, and
+    prefers decoded.npy when present (reference requires the file)."""
+    from clip_codec_tpu.cli.search_text import load_features
+
+    store, ckpt, tmp = trained_store
+    feats, paths = load_features(store)
+    assert feats.shape == (4, 16)
+    assert len(paths) == 4
+    np.testing.assert_allclose(np.linalg.norm(feats, axis=1), 1.0, rtol=1e-5)
+
+    custom = np.ones((4, 16), np.float32)
+    np.save(store / "decoded.npy", custom)
+    feats2, _ = load_features(store)
+    np.testing.assert_array_equal(feats2, custom)
+    (store / "decoded.npy").unlink()
