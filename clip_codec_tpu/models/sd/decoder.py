@@ -1,0 +1,262 @@
+"""Stable-Diffusion latent decoder with a trainable CLIP adapter (layer L4).
+
+Parity rebuild of the reference's SD path (``models/sd_decoder.py:11-90``):
+
+* :class:`SDClipAdapter` — LayerNorm -> Linear(512->1024) -> SiLU -> Linear
+  to ``ctx_dim * n_tokens`` pseudo-tokens for cross-attention
+  (``sd_decoder.py:21-30``); instantiated with n_tokens=8 (``:45-50``);
+* :class:`StableDiffusionDecoder` — frozen VAE + UNet (converted SD-1.5
+  weights), trainable adapter, ``scaling_factor`` 0.18215 (``:43``);
+* :meth:`StableDiffusionDecoder.sample` — DDIM with classifier-free guidance
+  using ``adapter(0)`` as the null embedding (``:76-90``), compiled as one
+  ``lax.scan``. The scheduler replicates diffusers' SD-1.5 DDIMScheduler:
+  scaled-linear betas (0.00085 -> 0.012), "leading" timestep spacing with
+  steps_offset=1, ``set_alpha_to_one=False``, eps-prediction, no sample clip.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .unet import SD15_UNET, SDUNet, SDUNetConfig
+from .vae import SD15_VAE, AutoencoderKL, VAEConfig
+
+Dtype = Any
+SD_SCALING_FACTOR = 0.18215
+
+
+class SDClipAdapter(nn.Module):
+    """CLIP embedding (B, in_dim) -> (B, n_tokens, ctx_dim) pseudo-tokens."""
+
+    in_dim: int = 512
+    ctx_dim: int = 768
+    hidden: int = 1024
+    n_tokens: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z: jax.Array) -> jax.Array:
+        h = nn.LayerNorm(dtype=self.dtype, name="ln")(z.astype(self.dtype))
+        h = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(h)
+        h = nn.silu(h)
+        h = nn.Dense(self.ctx_dim * self.n_tokens, dtype=self.dtype, name="fc2")(h)
+        return h.reshape(z.shape[0], self.n_tokens, self.ctx_dim)
+
+
+# ------------------------------------------------------- SD DDIM scheduler
+
+def sd_alphas_cumprod(timesteps: int = 1000) -> np.ndarray:
+    """Scaled-linear schedule: betas = linspace(sqrt(b0), sqrt(b1), T)^2."""
+    betas = np.linspace(0.00085**0.5, 0.012**0.5, timesteps, dtype=np.float64) ** 2
+    return np.cumprod(1.0 - betas).astype(np.float32)
+
+
+def sd_ddim_timesteps(steps: int, timesteps: int = 1000, steps_offset: int = 1) -> np.ndarray:
+    """diffusers "leading" spacing: arange(steps) * (T//steps) + offset,
+    descending."""
+    ratio = timesteps // steps
+    ts = (np.arange(steps) * ratio).round().astype(np.int64) + steps_offset
+    return ts[::-1].copy()
+
+
+@dataclass
+class SDSchedulerTables:
+    alphas_cumprod: np.ndarray
+    final_alpha_cumprod: float  # set_alpha_to_one=False -> alphas_cumprod[0]
+
+    @classmethod
+    def create(cls, timesteps: int = 1000) -> "SDSchedulerTables":
+        ac = sd_alphas_cumprod(timesteps)
+        return cls(alphas_cumprod=ac, final_alpha_cumprod=float(ac[0]))
+
+
+class StableDiffusionDecoder:
+    """Frozen SD-1.5 VAE+UNet with a trainable CLIP adapter.
+
+    ``params`` split: ``vae_params`` / ``unet_params`` are frozen (never in
+    any optimizer), ``adapter_params`` train. All apply paths are jitted.
+    """
+
+    def __init__(
+        self,
+        vae_params: Dict,
+        unet_params: Dict,
+        adapter_params: Optional[Dict] = None,
+        clip_dim: int = 512,
+        n_tokens: int = 8,
+        unet_cfg: SDUNetConfig = SD15_UNET,
+        vae_cfg: VAEConfig = SD15_VAE,
+        dtype=jnp.bfloat16,
+        rng: Optional[jax.Array] = None,
+    ) -> None:
+        self.unet = SDUNet(unet_cfg, dtype=dtype)
+        self.vae = AutoencoderKL(vae_cfg, dtype=dtype)
+        self.adapter = SDClipAdapter(
+            in_dim=clip_dim, ctx_dim=unet_cfg.cross_dim, n_tokens=n_tokens, dtype=jnp.float32
+        )
+        self.vae_params = vae_params
+        self.unet_params = unet_params
+        if adapter_params is None:
+            rng = rng if rng is not None else jax.random.PRNGKey(0)
+            adapter_params = self.adapter.init(rng, jnp.zeros((1, clip_dim), jnp.float32))["params"]
+        self.adapter_params = adapter_params
+        self.scaling_factor = SD_SCALING_FACTOR
+        self.tables = SDSchedulerTables.create()
+
+    # ----- VAE
+    def encode(self, x_m11: jax.Array, rng: jax.Array) -> jax.Array:
+        """[-1,1] images -> scaled latents (reference ``encode``, :53-57)."""
+        moments = self.vae.apply({"params": self.vae_params}, x_m11, method=AutoencoderKL.encode_moments)
+        lat = self.vae.apply({"params": self.vae_params}, moments, rng, method=AutoencoderKL.sample_latents)
+        return lat * self.scaling_factor
+
+    def decode(self, latents: jax.Array) -> jax.Array:
+        """Scaled latents -> [-1,1] images (reference ``decode``, :59-63)."""
+        return self.vae.apply(
+            {"params": self.vae_params}, latents / self.scaling_factor, method=AutoencoderKL.decode
+        )
+
+    # ----- eps prediction (adapter differentiable; UNet/VAE frozen)
+    def forward(self, latents_t: jax.Array, z_clip: jax.Array, t: jax.Array,
+                adapter_params: Optional[Dict] = None) -> jax.Array:
+        cond = self.adapter.apply({"params": adapter_params or self.adapter_params}, z_clip)
+        return self.unet.apply({"params": self.unet_params}, latents_t, t, cond)
+
+    __call__ = forward
+
+    # ----- CFG DDIM sampling as one scan
+    def sample(
+        self,
+        z_clip: jax.Array,
+        shape: Tuple[int, int, int, int],
+        steps: int = 30,
+        eta: float = 0.0,
+        guidance_scale: float = 5.0,
+        rng: Optional[jax.Array] = None,
+        decode_pixels: bool = True,
+    ) -> jax.Array:
+        """shape is (B, H, W, C) latents. Returns decoded [-1,1] images
+        (reference ``sample``, :76-90) or raw latents."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        rng, init_rng = jax.random.split(rng)
+        lat = jax.random.normal(init_rng, shape, dtype=jnp.float32)
+
+        cond = self.adapter.apply({"params": self.adapter_params}, z_clip)
+        uncond = self.adapter.apply({"params": self.adapter_params}, jnp.zeros_like(z_clip))
+
+        ts = sd_ddim_timesteps(steps)
+        ac = self.tables.alphas_cumprod
+        abt = jnp.asarray(ac[ts], jnp.float32)
+        prev_ts = ts - (1000 // steps)
+        ab_prev = jnp.asarray(
+            np.where(prev_ts >= 0, ac[np.maximum(prev_ts, 0)], self.tables.final_alpha_cumprod),
+            jnp.float32,
+        )
+        t_stack = jnp.asarray(ts, jnp.int32)
+
+        def unet_eps(lat, t_b, ctx):
+            return self.unet.apply({"params": self.unet_params}, lat, t_b, ctx).astype(jnp.float32)
+
+        def step(carry, per):
+            lat, rng = carry
+            t, a_t, a_prev = per
+            t_b = jnp.full((shape[0],), t, jnp.int32)
+            eps_u = unet_eps(lat, t_b, uncond)
+            eps_c = unet_eps(lat, t_b, cond)
+            eps = eps_u + guidance_scale * (eps_c - eps_u)
+            x0 = (lat - jnp.sqrt(1 - a_t) * eps) / jnp.sqrt(a_t)
+            sigma = eta * jnp.sqrt((1 - a_prev) / (1 - a_t)) * jnp.sqrt(1 - a_t / a_prev)
+            dir_xt = jnp.sqrt(1 - a_prev - sigma**2) * eps
+            lat_new = jnp.sqrt(a_prev) * x0 + dir_xt
+            if eta > 0:
+                rng, nrng = jax.random.split(rng)
+                lat_new = lat_new + sigma * jax.random.normal(nrng, shape, jnp.float32)
+            return (lat_new, rng), None
+
+        (lat, _), _ = jax.lax.scan(step, (lat, rng), (t_stack, abt, ab_prev))
+        return self.decode(lat) if decode_pixels else lat
+
+    # ----- CFG DDIM with test-time feature-inversion guidance
+    def sample_with_inversion(
+        self,
+        z_clip: jax.Array,
+        z_target: jax.Array,
+        embed_fn,
+        shape: Tuple[int, int, int, int],
+        steps: int = 30,
+        eta: float = 0.0,
+        guidance_scale: float = 5.0,
+        inv_weight: float = 1.0,
+        inv_every: int = 1,
+        rng: Optional[jax.Array] = None,
+        decode_pixels: bool = True,
+    ) -> jax.Array:
+        """CFG DDIM plus the reference's gradient-based feature inversion
+        (``cli/reconstruct_sd_diffusion.py:161-181``): every ``inv_every``
+        steps, Tweedie x̂0 -> VAE decode -> ``embed_fn`` -> cosine loss
+        against ``z_target`` -> d(loss)/d(latent), then a global-norm-
+        normalized gradient step ``lat -= inv_weight * g/(|g|+1e-8)`` before
+        the DDIM update. ``embed_fn`` maps [-1,1] NHWC images to embeddings
+        (CLIP or DINOv2 — auto-picked by the CLI from the bitstream dim)."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        rng, init_rng = jax.random.split(rng)
+        lat = jax.random.normal(init_rng, shape, dtype=jnp.float32)
+
+        cond = self.adapter.apply({"params": self.adapter_params}, z_clip)
+        uncond = self.adapter.apply({"params": self.adapter_params}, jnp.zeros_like(z_clip))
+        z_tgt = z_target / jnp.linalg.norm(z_target, axis=-1, keepdims=True)
+
+        ts = sd_ddim_timesteps(steps)
+        ac = self.tables.alphas_cumprod
+        abt = jnp.asarray(ac[ts], jnp.float32)
+        prev_ts = ts - (1000 // steps)
+        ab_prev = jnp.asarray(
+            np.where(prev_ts >= 0, ac[np.maximum(prev_ts, 0)], self.tables.final_alpha_cumprod),
+            jnp.float32,
+        )
+        t_stack = jnp.asarray(ts, jnp.int32)
+        inv_gate = jnp.asarray((np.arange(steps) % max(1, inv_every)) == 0)
+
+        def unet_eps(lat, t_b, ctx):
+            return self.unet.apply({"params": self.unet_params}, lat, t_b, ctx).astype(jnp.float32)
+
+        def feat_loss(lat, eps, a_t):
+            lat_x0 = (lat - jnp.sqrt(1 - a_t) * jax.lax.stop_gradient(eps)) / jnp.sqrt(a_t)
+            x0 = jnp.clip(self.decode(lat_x0).astype(jnp.float32), -1.0, 1.0)
+            y = embed_fn(x0)
+            y = y / (jnp.linalg.norm(y, axis=-1, keepdims=True) + 1e-9)
+            return 1.0 - jnp.mean(jnp.sum(y * z_tgt, axis=-1))
+
+        grad_fn = jax.grad(feat_loss)
+
+        def step(carry, per):
+            lat, rng = carry
+            t, a_t, a_prev, do_inv = per
+            t_b = jnp.full((shape[0],), t, jnp.int32)
+            eps_u = unet_eps(lat, t_b, uncond)
+            eps_c = unet_eps(lat, t_b, cond)
+            eps = eps_u + guidance_scale * (eps_c - eps_u)
+            if inv_weight > 0:
+                def guided(lat):
+                    g = grad_fn(lat, eps, a_t)
+                    return lat - inv_weight * g / (jnp.linalg.norm(g) + 1e-8)
+
+                lat = jax.lax.cond(do_inv, guided, lambda l: l, lat)
+            x0 = (lat - jnp.sqrt(1 - a_t) * eps) / jnp.sqrt(a_t)
+            sigma = eta * jnp.sqrt((1 - a_prev) / (1 - a_t)) * jnp.sqrt(1 - a_t / a_prev)
+            dir_xt = jnp.sqrt(1 - a_prev - sigma**2) * eps
+            lat_new = jnp.sqrt(a_prev) * x0 + dir_xt
+            if eta > 0:
+                rng, nrng = jax.random.split(rng)
+                lat_new = lat_new + sigma * jax.random.normal(nrng, shape, jnp.float32)
+            return (lat_new, rng), None
+
+        (lat, _), _ = jax.lax.scan(step, (lat, rng), (t_stack, abt, ab_prev, inv_gate))
+        return self.decode(lat) if decode_pixels else lat

@@ -1,0 +1,188 @@
+"""Stable-Diffusion building blocks (NHWC Flax): resnets, spatial
+transformers, up/down-sampling — the pieces of SD-1.5's UNet and VAE.
+
+The reference consumes these architectures through ``diffusers``
+(``models/sd_decoder.py:7``); here they are native so the whole latent path
+is one XLA program. Structure follows the SD-1.5 model spec (diffusers
+``ResnetBlock2D`` / ``Transformer2DModel`` / ``AutoencoderKL`` layouts) so
+that released checkpoints convert 1:1 (:mod:`clip_codec_tpu.weights.convert_sd`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def group_norm32(x: jax.Array, scale: jax.Array, bias: jax.Array, groups: int = 32, eps: float = 1e-5) -> jax.Array:
+    from ...ops.groupnorm import group_norm
+
+    # Clamp for sized-down test configs; real SD widths (>=128) use 32 groups.
+    return group_norm(x, (scale, bias), groups=min(groups, x.shape[-1]), eps=eps)
+
+
+class ResnetBlock2D(nn.Module):
+    """GN32 -> SiLU -> conv -> (+temb proj) -> GN32 -> SiLU -> conv, with a
+    1x1 shortcut when channels change (SD resnet layout)."""
+
+    out_ch: int
+    temb_dim: Optional[int] = None
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, temb: Optional[jax.Array] = None) -> jax.Array:
+        cin = x.shape[-1]
+        s1 = self.param("norm1_scale", nn.initializers.ones, (cin,), jnp.float32)
+        b1 = self.param("norm1_bias", nn.initializers.zeros, (cin,), jnp.float32)
+        h = group_norm32(x, s1, b1, eps=self.eps)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv1")(h)
+        if temb is not None and self.temb_dim is not None:
+            t = nn.Dense(self.out_ch, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
+            h = h + t[:, None, None, :]
+        s2 = self.param("norm2_scale", nn.initializers.ones, (self.out_ch,), jnp.float32)
+        b2 = self.param("norm2_bias", nn.initializers.zeros, (self.out_ch,), jnp.float32)
+        h = group_norm32(h, s2, b2, eps=self.eps)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv2")(h)
+        if cin != self.out_ch:
+            x = nn.Conv(self.out_ch, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
+        return x + h
+
+
+class CrossAttention(nn.Module):
+    """Multi-head attention; context=None -> self-attention (SD ``Attention``
+    layout: to_q/to_k/to_v without bias, to_out with bias)."""
+
+    dim: int
+    heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, context: Optional[jax.Array] = None) -> jax.Array:
+        ctx = x if context is None else context
+        B, N, _ = x.shape
+        M = ctx.shape[1]
+        h = self.heads
+        d = self.dim // h
+        q = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        q = q.reshape(B, N, h, d)
+        k = k.reshape(B, M, h, d)
+        v = v.reshape(B, M, h, d)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(d).astype(q.dtype)
+        attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, N, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
+
+
+class GEGLU(nn.Module):
+    dim_out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
+        a, g = jnp.split(h, 2, axis=-1)
+        return a * nn.gelu(g, approximate=False)
+
+
+class BasicTransformerBlock(nn.Module):
+    """LN -> self-attn -> LN -> cross-attn(context) -> LN -> GEGLU MLP."""
+
+    dim: int
+    heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
+        x = x + CrossAttention(self.dim, self.heads, dtype=self.dtype, name="attn1")(
+            nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        )
+        x = x + CrossAttention(self.dim, self.heads, dtype=self.dtype, name="attn2")(
+            nn.LayerNorm(dtype=self.dtype, name="norm2")(x), context
+        )
+        y = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+        y = GEGLU(self.dim * 4, dtype=self.dtype, name="ff_geglu")(y)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="ff_out")(y)
+        return x + y
+
+
+class Transformer2D(nn.Module):
+    """Spatial transformer: GN(eps 1e-6) -> 1x1 conv in -> transformer blocks
+    over flattened pixels -> 1x1 conv out, residual (SD-1.5 uses conv
+    projections, ``use_linear_projection=False``)."""
+
+    dim: int
+    heads: int
+    depth: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
+        B, H, W, C = x.shape
+        s = self.param("norm_scale", nn.initializers.ones, (C,), jnp.float32)
+        b = self.param("norm_bias", nn.initializers.zeros, (C,), jnp.float32)
+        h = group_norm32(x, s, b, eps=1e-6)
+        h = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="proj_in")(h)
+        h = h.reshape(B, H * W, self.dim)
+        for i in range(self.depth):
+            h = BasicTransformerBlock(self.dim, self.heads, dtype=self.dtype, name=f"block_{i}")(h, context)
+        h = h.reshape(B, H, W, self.dim)
+        h = nn.Conv(C, (1, 1), dtype=self.dtype, name="proj_out")(h)
+        return x + h
+
+
+class Downsample2D(nn.Module):
+    """Stride-2 3x3 conv; ``asymmetric=True`` uses the VAE-encoder (0,1) pad."""
+
+    out_ch: int
+    asymmetric: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        pad = ((0, 1), (0, 1)) if self.asymmetric else ((1, 1), (1, 1))
+        return nn.Conv(self.out_ch, (3, 3), strides=(2, 2), padding=pad, dtype=self.dtype, name="conv")(x)
+
+
+class Upsample2D(nn.Module):
+    """Nearest 2x then 3x3 conv (SD upsampler)."""
+
+    out_ch: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        B, H, W, C = x.shape
+        x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+        return nn.Conv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv")(x)
+
+
+class AttnBlockVAE(nn.Module):
+    """Single-head self-attention over pixels (VAE mid-block attention)."""
+
+    ch: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        B, H, W, C = x.shape
+        s = self.param("norm_scale", nn.initializers.ones, (C,), jnp.float32)
+        b = self.param("norm_bias", nn.initializers.zeros, (C,), jnp.float32)
+        h = group_norm32(x, s, b, eps=1e-6).reshape(B, H * W, C)
+        q = nn.Dense(self.ch, dtype=self.dtype, name="to_q")(h)
+        k = nn.Dense(self.ch, dtype=self.dtype, name="to_k")(h)
+        v = nn.Dense(self.ch, dtype=self.dtype, name="to_v")(h)
+        logits = jnp.einsum("bqd,bkd->bqk", q, k) / jnp.sqrt(self.ch).astype(q.dtype)
+        attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+        out = jnp.einsum("bqk,bkd->bqd", attn, v)
+        out = nn.Dense(self.ch, dtype=self.dtype, name="to_out")(out)
+        return x + out.reshape(B, H, W, C)
