@@ -65,8 +65,18 @@ class Store:
         return z
 
     def decode_all(self, renormalize: bool = True) -> np.ndarray:
-        """Dequantize every record into an ``(N, D)`` float32 matrix."""
-        return np.stack([self.decode_vector(i, renormalize) for i in range(len(self))])
+        """Dequantize every record into an ``(N, D)`` float32 matrix (native
+        batched zstd when built, python fallback otherwise)."""
+        from .native import decompress_frames
+
+        frames = [Path(rec["bitstream"]).read_bytes() for rec in self.manifest]
+        q = decompress_frames(frames, self.dim)
+        if q is None:
+            q = np.stack([read_bitstream(rec["bitstream"]) for rec in self.manifest])
+        z = q.astype(np.float32) * self.scale + self.zero
+        if renormalize:
+            z = l2_normalize_np(z)
+        return z
 
 
 def write_store(
@@ -95,9 +105,18 @@ def write_store(
         dim=dim,
     )
     manifest: List[Dict[str, str]] = []
-    for p, q in zip(image_paths, quantized):
+    q_mat = np.ascontiguousarray(np.asarray(quantized, dtype=np.uint8))
+    frames = None
+    if len(image_paths) > 1:  # batched native zstd path (falls back to python)
+        from .native import compress_frames
+
+        frames = compress_frames(q_mat)
+    for i, p in enumerate(image_paths):
         out_path = out / (Path(p).stem + ".clp")
-        write_bitstream(np.asarray(q, dtype=np.uint8).tobytes(), D, out_path)
+        if frames is not None:
+            out_path.write_bytes(frames[i])
+        else:
+            write_bitstream(q_mat[i].tobytes(), D, out_path)
         manifest.append({"image": str(p), "bitstream": str(out_path)})
     with open(out / "manifest.json", "w", encoding="utf-8") as f:
         json.dump(manifest, f, ensure_ascii=False, indent=2)

@@ -1,0 +1,64 @@
+"""Pallas kernel correctness (interpret mode on CPU) vs the jnp reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from clip_codec_tpu.ops.groupnorm import group_norm, group_norm_silu
+
+
+def _interp_forward(x, scale, bias, groups, eps=1e-5):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from clip_codec_tpu.ops import pallas_groupnorm as pg
+
+    with pltpu.force_tpu_interpret_mode():
+        return pg._forward(x, scale, bias, groups, eps)
+
+
+@pytest.mark.parametrize("shape,groups", [((2, 8, 8, 16), 8), ((1, 16, 8, 32), 4), ((2, 12, 4, 8), 8)])
+def test_pallas_matches_jnp(rng, shape, groups):
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    C = shape[-1]
+    scale = jnp.asarray(rng.standard_normal(C), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(C), jnp.float32)
+    got = np.asarray(_interp_forward(x, scale, bias, groups))
+    want = np.asarray(group_norm_silu(x, (scale, bias), groups))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_bf16_input(rng):
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 16)), jnp.bfloat16)
+    scale = jnp.ones(16, jnp.float32)
+    bias = jnp.zeros(16, jnp.float32)
+    got = _interp_forward(x, scale, bias, 8)
+    assert got.dtype == jnp.bfloat16
+    want = group_norm_silu(x, (scale, bias), 8)
+    np.testing.assert_allclose(
+        np.asarray(got, dtype=np.float32), np.asarray(want, dtype=np.float32), rtol=2e-2, atol=2e-2
+    )
+
+
+def test_custom_vjp_matches_jnp_grad(rng):
+    """Backward of the pallas op (jnp-derived VJP) equals grad of the jnp op."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from clip_codec_tpu.ops.pallas_groupnorm import group_norm_silu_pallas
+
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 16)), jnp.float32)
+    scale = jnp.asarray(rng.standard_normal(16), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(16), jnp.float32)
+
+    def loss_pallas(x, s, b):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(group_norm_silu_pallas(x, s, b, 8, 1e-5) ** 2)
+
+    def loss_jnp(x, s, b):
+        y = group_norm_silu(x, (s, b), 8)
+        return jnp.sum(y**2)
+
+    g1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(x, scale, bias)
+    g2 = jax.grad(loss_jnp, argnums=(0, 1, 2))(x, scale, bias)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5)
