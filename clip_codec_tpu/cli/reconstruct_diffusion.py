@@ -26,8 +26,9 @@ def main() -> None:
     ap.add_argument("--eta", type=float, default=0.0)
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--device", type=str, default=default_device())
-    ap.add_argument("--base", type=int, default=128, help="U-Net base width (reference hard-codes 128)")
-    ap.add_argument("--ch_mult", type=str, default="1,2,2", help="U-Net channel multipliers")
+    ap.add_argument("--base", type=int, default=None,
+                    help="U-Net base width (default: model_config.json next to --weights, else 128)")
+    ap.add_argument("--ch_mult", type=str, default=None, help="U-Net channel multipliers")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
     apply_device_flag(args.device)
@@ -41,11 +42,17 @@ def main() -> None:
     from ..train.train_decoder import decode_embedding, to_pil
     from ..utils.checkpoint import load_unet_checkpoint
 
-    ch_mult = tuple(int(c) for c in args.ch_mult.split(","))
+    from ..utils.config import ModelConfig
+
+    mc = ModelConfig.find_for_checkpoint(args.weights)
+    base = args.base if args.base is not None else (mc.base if mc else 128)
+    ch_mult = (tuple(int(c) for c in args.ch_mult.split(","))
+               if args.ch_mult is not None else (mc.ch_mult if mc else (1, 2, 2)))
     z = jnp.asarray(decode_embedding(args.bitstream, args.store_dir))
     params = load_unet_checkpoint(args.weights, ch_mult)
-    net = CLIPCondUNet(z_dim=z.shape[1], base=args.base, ch_mult=ch_mult, img_ch=3, dtype=jnp.bfloat16)
-    sched = NoiseSchedule.create(1000, "cosine")
+    net = CLIPCondUNet(z_dim=z.shape[1], base=base, ch_mult=ch_mult, img_ch=3, dtype=jnp.bfloat16)
+    sched = (NoiseSchedule.create(mc.timesteps, mc.schedule) if mc
+             else NoiseSchedule.create(1000, "cosine"))
     sampler = DDIMSampler(sched, eta=args.eta)
     x = sampler.sample(
         lambda xt, zz, t: net.apply({"params": params}, xt, zz, t),

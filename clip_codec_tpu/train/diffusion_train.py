@@ -38,6 +38,7 @@ import optax
 from ..diffusion.schedule import NoiseSchedule
 from ..models.unet import CLIPCondUNet
 from ..utils.checkpoint import save_params
+from ..utils.config import ModelConfig
 from ..utils.logging import TrainLogger
 from .data import StoreData
 from .losses import clip_alignment, eps_mse, l1, total_variation, weighted_mean
@@ -151,6 +152,10 @@ def train_diffusion(
     params = net.init(init_rng, dummy, jnp.zeros((1, data.z_dim), jnp.float32), jnp.zeros((1,), jnp.int32))["params"]
     opt_state = tx.init(params)
 
+    ModelConfig(
+        z_dim=data.z_dim, base=cfg.base, ch_mult=tuple(cfg.ch_mult),
+        timesteps=cfg.timesteps, schedule=cfg.schedule, out_size=cfg.out_size,
+    ).save(save_dir)
     step_fn = make_train_step(net, sched, tx, cfg, clip_embed_fn)
     logger = TrainLogger(log_every=cfg.log_every)
     data_rng = np.random.default_rng(cfg.seed)

@@ -48,3 +48,23 @@ def test_orbax_resume(tmp_path, rng):
     # fresh checkpointer sees the same state
     ck2 = TrainCheckpointer(tmp_path / "ck")
     assert ck2.latest_step() == 7
+
+
+def test_nan_checked_wrapper():
+    import jax.numpy as jnp
+
+    from clip_codec_tpu.utils.debug import assert_finite_tree, nan_checked
+
+    def div(x, y):
+        return x / y
+
+    f = nan_checked(div)
+    assert float(f(jnp.float32(6.0), jnp.float32(2.0))) == 3.0
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="division by zero|nan"):
+        f(jnp.float32(0.0), jnp.float32(0.0))
+
+    assert_finite_tree({"a": np.ones(3)})
+    with _pytest.raises(FloatingPointError, match="non-finite"):
+        assert_finite_tree({"a": np.array([1.0, np.nan])}, "params")

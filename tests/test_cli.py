@@ -115,3 +115,23 @@ def test_search_text_feature_fallback(trained_store):
     feats2, _ = load_features(store)
     np.testing.assert_array_equal(feats2, custom)
     (store / "decoded.npy").unlink()
+
+
+def test_model_config_autopickup(trained_store, monkeypatch, tmp_path):
+    """Training writes model_config.json; reconstruct CLI rebuilds the right
+    model without --base/--ch_mult flags (the reference silently mismatches)."""
+    from clip_codec_tpu.cli.reconstruct_diffusion import main
+    from clip_codec_tpu.utils.config import ModelConfig
+
+    store, ckpt, tmp = trained_store
+    mc = ModelConfig.find_for_checkpoint(ckpt)
+    assert mc is not None
+    assert mc.base == 8 and mc.ch_mult == (1, 2) and mc.timesteps == 50
+
+    out = tmp_path / "auto.png"
+    _run_cli(monkeypatch, main, [
+        "--store_dir", str(store), "--bitstream", str(store / "im0.clp"),
+        "--weights", str(ckpt), "--out", str(out), "--steps", "3",
+        "--size", "16", "--device", "cpu",
+    ])
+    assert out.exists()
