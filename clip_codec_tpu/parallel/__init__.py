@@ -1,3 +1,4 @@
+from .sample import sample_sharded
 from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
@@ -16,4 +17,5 @@ __all__ = [
     "replicate",
     "replicated",
     "shard_batch",
+    "sample_sharded",
 ]

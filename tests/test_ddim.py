@@ -131,3 +131,23 @@ def test_parity_vs_reference_sampler(rng):
         model_fn, z, (B, H, W, C), steps=50, x_T=x_init.transpose(0, 2, 3, 1)
     )
     np.testing.assert_allclose(np.asarray(ours).transpose(0, 3, 1, 2), ref_out, rtol=1e-4, atol=1e-5)
+
+
+def test_ddpm_ancestral_sampler(rng):
+    """Beyond-reference ancestral sampler built on p_mean_variance."""
+    import jax
+
+    from clip_codec_tpu.diffusion import ddpm_sample
+
+    sched = NoiseSchedule.create(20, "linear")
+    z = rng.standard_normal((2, 8)).astype(np.float32)
+
+    def model_fn(x, zz, t):
+        return 0.05 * x
+
+    out = ddpm_sample(model_fn, sched, z, (2, 8, 8, 3), rng=jax.random.PRNGKey(0))
+    assert np.asarray(out).shape == (2, 8, 8, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
+    # deterministic given the key
+    out2 = ddpm_sample(model_fn, sched, z, (2, 8, 8, 3), rng=jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))

@@ -70,3 +70,18 @@ def test_sharded_ddim_sampling(rng):
     )
     assert imgs.shape == (8, 8, 8, 3)
     assert bool(jnp.isfinite(jnp.asarray(imgs)).all())
+
+
+def test_sample_sharded_convenience(rng):
+    from clip_codec_tpu.parallel import make_mesh, sample_sharded
+
+    mesh = make_mesh(8)
+    D = 16
+    net = CLIPCondUNet(z_dim=D, base=8, ch_mult=(1, 2), img_ch=3)
+    z = rng.standard_normal((8, D)).astype(np.float32)
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)), z[:1], jnp.zeros((1,), jnp.int32))
+    sched = NoiseSchedule.create(20, "cosine")
+    imgs = sample_sharded(mesh, lambda x, zz, t: net.apply(params, x, zz, t), sched, z, 8, steps=3)
+    assert imgs.shape == (8, 8, 8, 3)
+    with pytest.raises(ValueError, match="divisible"):
+        sample_sharded(mesh, lambda x, zz, t: x, sched, z[:5], 8, steps=2)
