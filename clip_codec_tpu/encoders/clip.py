@@ -134,8 +134,13 @@ def preprocess_pil(img: Image.Image, image_size: int = 224) -> np.ndarray:
     """open_clip eval transform on host: short-side BICUBIC resize, center
     crop, CLIP mean/std normalize -> (H, W, 3) float32."""
     w, h = img.size
-    scale = image_size / min(w, h)
-    img = img.convert("RGB").resize((round(w * scale), round(h * scale)), Image.BICUBIC)
+    # torchvision F.resize truncates the scaled long side with int(), not
+    # round() — replicate exactly (1-px differences shift the crop grid).
+    if w <= h:
+        new_w, new_h = image_size, int(image_size * h / w)
+    else:
+        new_w, new_h = int(image_size * w / h), image_size
+    img = img.convert("RGB").resize((new_w, new_h), Image.BICUBIC)
     w, h = img.size
     left, top = (w - image_size) // 2, (h - image_size) // 2
     img = img.crop((left, top, left + image_size, top + image_size))

@@ -14,6 +14,8 @@ from __future__ import annotations
 import gzip
 import os
 import re
+
+import regex  # unicode-property regex, same engine family open_clip uses
 from functools import lru_cache
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
@@ -39,11 +41,11 @@ def _get_pairs(word: Tuple[str, ...]) -> set:
     return {(word[i], word[i + 1]) for i in range(len(word) - 1)}
 
 
-_WORD_RE = re.compile(
-    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"""
-    if False
-    else r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\s a-zA-Z0-9]+""",
-    re.IGNORECASE,
+# The exact open_clip/openai word-split pattern (unicode letter/number
+# properties — "café" stays one word, CJK splits per open_clip semantics).
+_WORD_RE = regex.compile(
+    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
+    regex.IGNORECASE,
 )
 
 

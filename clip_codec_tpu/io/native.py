@@ -61,8 +61,27 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.clp_compress_batch.argtypes = [u8p, sz, sz, u8p, sz, szp, szp, ctypes.c_int]
     lib.clp_decompress_batch.restype = sz
     lib.clp_decompress_batch.argtypes = [u8p, szp, szp, sz, sz, u8p]
+    if not _self_check(lib):
+        # The system libzstd produced different bytes than the bundled python
+        # zstandard build would — disable the native path so stores stay
+        # byte-identical regardless of toolchain (reproducibility contract).
+        return None
     _LIB = lib
     return _LIB
+
+
+def _self_check(lib) -> bool:
+    """Native frames must be byte-identical to the python zstandard framing."""
+    try:
+        from .bitstream import compress_frame
+
+        probe = (np.arange(512, dtype=np.uint64) * 2654435761 % 256).astype(np.uint8)
+        bound = int(lib.clp_frame_bound(probe.size))
+        out = np.empty(bound, dtype=np.uint8)
+        got = lib.clp_compress_frame(_u8(probe), probe.size, _u8(out), out.size, 22)
+        return got > 0 and out[: int(got)].tobytes() == compress_frame(probe.tobytes())
+    except Exception:
+        return False
 
 
 def _u8(arr: np.ndarray):

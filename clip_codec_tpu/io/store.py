@@ -106,11 +106,12 @@ def write_store(
     )
     manifest: List[Dict[str, str]] = []
     q_mat = np.ascontiguousarray(np.asarray(quantized, dtype=np.uint8))
-    frames = None
-    if len(image_paths) > 1:  # batched native zstd path (falls back to python)
-        from .native import compress_frames
+    from .native import compress_frames
 
-        frames = compress_frames(q_mat)
+    # Native and python paths are guaranteed byte-identical (the native lib
+    # self-checks against the python framing at load and is disabled on any
+    # mismatch), so which one runs never changes the stored bytes.
+    frames = compress_frames(q_mat) if len(image_paths) > 0 else None
     for i, p in enumerate(image_paths):
         out_path = out / (Path(p).stem + ".clp")
         if frames is not None:

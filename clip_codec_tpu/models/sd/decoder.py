@@ -143,45 +143,14 @@ class StableDiffusionDecoder:
         decode_pixels: bool = True,
     ) -> jax.Array:
         """shape is (B, H, W, C) latents. Returns decoded [-1,1] images
-        (reference ``sample``, :76-90) or raw latents."""
-        rng = rng if rng is not None else jax.random.PRNGKey(0)
-        rng, init_rng = jax.random.split(rng)
-        lat = jax.random.normal(init_rng, shape, dtype=jnp.float32)
-
-        cond = self.adapter.apply({"params": self.adapter_params}, z_clip)
-        uncond = self.adapter.apply({"params": self.adapter_params}, jnp.zeros_like(z_clip))
-
-        ts = sd_ddim_timesteps(steps)
-        ac = self.tables.alphas_cumprod
-        abt = jnp.asarray(ac[ts], jnp.float32)
-        prev_ts = ts - (1000 // steps)
-        ab_prev = jnp.asarray(
-            np.where(prev_ts >= 0, ac[np.maximum(prev_ts, 0)], self.tables.final_alpha_cumprod),
-            jnp.float32,
+        (reference ``sample``, :76-90) or raw latents. Plain CFG sampling is
+        the ``inv_weight=0`` case of :meth:`sample_with_inversion` — one DDIM
+        step implementation, no duplicated update math."""
+        return self.sample_with_inversion(
+            z_clip, z_clip, None, shape, steps=steps, eta=eta,
+            guidance_scale=guidance_scale, inv_weight=0.0, rng=rng,
+            decode_pixels=decode_pixels,
         )
-        t_stack = jnp.asarray(ts, jnp.int32)
-
-        def unet_eps(lat, t_b, ctx):
-            return self.unet.apply({"params": self.unet_params}, lat, t_b, ctx).astype(jnp.float32)
-
-        def step(carry, per):
-            lat, rng = carry
-            t, a_t, a_prev = per
-            t_b = jnp.full((shape[0],), t, jnp.int32)
-            eps_u = unet_eps(lat, t_b, uncond)
-            eps_c = unet_eps(lat, t_b, cond)
-            eps = eps_u + guidance_scale * (eps_c - eps_u)
-            x0 = (lat - jnp.sqrt(1 - a_t) * eps) / jnp.sqrt(a_t)
-            sigma = eta * jnp.sqrt((1 - a_prev) / (1 - a_t)) * jnp.sqrt(1 - a_t / a_prev)
-            dir_xt = jnp.sqrt(1 - a_prev - sigma**2) * eps
-            lat_new = jnp.sqrt(a_prev) * x0 + dir_xt
-            if eta > 0:
-                rng, nrng = jax.random.split(rng)
-                lat_new = lat_new + sigma * jax.random.normal(nrng, shape, jnp.float32)
-            return (lat_new, rng), None
-
-        (lat, _), _ = jax.lax.scan(step, (lat, rng), (t_stack, abt, ab_prev))
-        return self.decode(lat) if decode_pixels else lat
 
     # ----- CFG DDIM with test-time feature-inversion guidance
     def sample_with_inversion(
@@ -211,7 +180,7 @@ class StableDiffusionDecoder:
 
         cond = self.adapter.apply({"params": self.adapter_params}, z_clip)
         uncond = self.adapter.apply({"params": self.adapter_params}, jnp.zeros_like(z_clip))
-        z_tgt = z_target / jnp.linalg.norm(z_target, axis=-1, keepdims=True)
+        z_tgt = z_target / jnp.maximum(jnp.linalg.norm(z_target, axis=-1, keepdims=True), 1e-9)
 
         ts = sd_ddim_timesteps(steps)
         ac = self.tables.alphas_cumprod

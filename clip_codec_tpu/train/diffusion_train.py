@@ -80,6 +80,9 @@ def make_train_step(
     (params, opt_state, metrics)."""
 
     def loss_fn(params, x0, z, weight, t, noise, clip_on):
+        # clip_on is STATIC (python bool) so the CLIP tower is only traced
+        # into the even-epoch specialization — the reference skips the term
+        # entirely on odd epochs (diffusion_train.py:130) and so do we.
         x_t = sched.q_sample(x0, t, noise)
         eps_hat = net.apply({"params": params}, x_t, z, t).astype(jnp.float32)
         per = eps_mse(eps_hat, noise)
@@ -88,12 +91,12 @@ def make_train_step(
             per = per + cfg.recon_w * l1(x0_pred, x0)
         if cfg.tv_w > 0:
             per = per + cfg.tv_w * total_variation(x0_pred)
-        if cfg.clip_w > 0 and clip_embed_fn is not None:
+        if clip_on and cfg.clip_w > 0 and clip_embed_fn is not None:
             align = clip_alignment(x0_pred, z, clip_embed_fn, stop_grad=not cfg.clip_align_grad)
-            per = per + clip_on * cfg.clip_w * align
+            per = per + cfg.clip_w * align
         return weighted_mean(per, weight)
 
-    @partial(jax.jit, donate_argnums=(0, 1))
+    @partial(jax.jit, donate_argnums=(0, 1), static_argnames=("clip_on",))
     def train_step(params, opt_state, x0, z, weight, rng, clip_on):
         t_rng, n_rng = jax.random.split(rng)
         b = x0.shape[0]
@@ -164,7 +167,7 @@ def train_diffusion(
     final_path: Path = save_dir / "diffusion_unet_final.msgpack"
     step = 0
     for ep in range(cfg.epochs):
-        clip_on = jnp.float32(1.0 if ep % 2 == 0 else 0.0)  # reference: every other epoch
+        clip_on = bool(ep % 2 == 0)  # reference: every other epoch (static -> two specializations)
         losses, weights = [], []
         t0 = time.time()
         for batch in data.epoch(cfg.batch_size, data_rng):

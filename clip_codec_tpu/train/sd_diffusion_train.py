@@ -142,14 +142,17 @@ def train_sd_diffusion(
                     jnp.linalg.norm(ya, axis=-1) * jnp.linalg.norm(yb, axis=-1) + 1e-8
                 )
                 per = per + cfg.dino_w * (1.0 - cos)
-            if lpips_model is not None and cfg.perc_w > 0:
+            if perc_on and lpips_model is not None and cfg.perc_w > 0:
+                # perc_on is STATIC: the VGG16 forward+VJP is only traced into
+                # the every-perc_every-steps specialization instead of running
+                # (and being zeroed) on every step.
                 from ..eval.lpips import lpips_forward
 
                 gt_small = jax.image.resize(gt_img, x_hat.shape, method="bilinear")
-                per = per + perc_on * cfg.perc_w * lpips_forward(lpips_model.params, x_hat, gt_small)
+                per = per + cfg.perc_w * lpips_forward(lpips_model.params, x_hat, gt_small)
         return weighted_mean(per, weight)
 
-    @partial(jax.jit, donate_argnums=(0, 1))
+    @partial(jax.jit, donate_argnums=(0, 1), static_argnames=("perc_on",))
     def step_fn(a_params, opt_state, z, lat0, gt_img, weight, rng, perc_on):
         t_rng, n_rng = jax.random.split(rng)
         b = lat0.shape[0]
@@ -177,7 +180,7 @@ def train_sd_diffusion(
                 w = np.concatenate([w, np.zeros(pad, np.float32)])
             z, lat0, img = data.batch(idx)
             rng, srng = jax.random.split(rng)
-            perc_on = jnp.float32(1.0 if (lpips_model is not None and step % cfg.perc_every == 0) else 0.0)
+            perc_on = bool(lpips_model is not None and step % cfg.perc_every == 0)
             adapter_params, opt_state, loss = step_fn(
                 adapter_params, opt_state, jnp.asarray(z), jnp.asarray(lat0), jnp.asarray(img),
                 jnp.asarray(w), srng, perc_on,

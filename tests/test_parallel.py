@@ -42,14 +42,14 @@ def test_dp_train_step_matches_single_device(rng):
 
     # Single device
     p1, o1, l1 = step_fn(jax.tree_util.tree_map(jnp.copy, params), tx.init(params),
-                         jnp.asarray(x0), jnp.asarray(z), jnp.asarray(w), key, jnp.float32(0))
+                         jnp.asarray(x0), jnp.asarray(z), jnp.asarray(w), key, False)
 
     # 8-device data parallel: shard batch, replicate state
     mesh = make_mesh(8)
     params_r = replicate(mesh, params)
     opt_r = replicate(mesh, tx.init(params))
     x0s, zs, ws = shard_batch(mesh, x0, z, w)
-    p8, o8, l8 = step_fn(params_r, opt_r, x0s, zs, ws, key, jnp.float32(0))
+    p8, o8, l8 = step_fn(params_r, opt_r, x0s, zs, ws, key, False)
 
     assert np.allclose(float(l1), float(l8), rtol=1e-5)
     for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p8)):
