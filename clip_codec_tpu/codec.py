@@ -1,0 +1,131 @@
+"""High-level codec facade: the one-object compress/decompress API.
+
+Ties the whole pipeline together for programmatic users (the reference only
+exposes CLI scripts and two train functions, ``README.md:42-72``):
+
+    codec = ClipCodec.load("store_dir")          # quantizer meta + decoder ckpt
+    blobs = codec.compress(pil_images)           # list of .clp frame bytes
+    images = codec.decompress(blobs, size=256)   # batched DDIM reconstruction
+
+``compress`` needs CLIP weights (see encoders); ``decompress`` needs a
+trained diffusion checkpoint. Both run batched on the accelerator.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from .codecs.quantizer import dequantize_l2norm, quantize
+from .diffusion import DDIMSampler, NoiseSchedule
+from .io.bitstream import compress_frame, decompress_frame
+from .models import CLIPCondUNet
+from .utils.checkpoint import load_unet_checkpoint
+from .utils.config import ModelConfig
+
+PathLike = Union[str, Path]
+
+
+class ClipCodec:
+    """Compress images to ``.clp`` frames and reconstruct them via DDIM."""
+
+    def __init__(
+        self,
+        scale: np.ndarray,
+        zero: np.ndarray,
+        unet_params=None,
+        model_config: Optional[ModelConfig] = None,
+        encoder=None,
+        rng_seed: int = 0,
+    ) -> None:
+        self.scale = np.asarray(scale, np.float32)
+        self.zero = np.asarray(zero, np.float32)
+        self.dim = int(self.scale.shape[0])
+        self.encoder = encoder
+        self.mc = model_config
+        self.unet_params = unet_params
+        self._rng = jax.random.PRNGKey(rng_seed)
+        if unet_params is not None and model_config is not None:
+            self.net = CLIPCondUNet(
+                z_dim=model_config.z_dim, base=model_config.base,
+                ch_mult=model_config.ch_mult, img_ch=model_config.img_ch,
+                dtype=jnp.bfloat16,
+            )
+            self.sched = NoiseSchedule.create(model_config.timesteps, model_config.schedule)
+
+    @classmethod
+    def load(
+        cls,
+        store_dir: PathLike,
+        weights: Optional[PathLike] = None,
+        encoder=None,
+    ) -> "ClipCodec":
+        """From a store directory: ``codec_meta.npz`` (+ optional trained
+        decoder checkpoint; defaults to ``diffusion_unet_final.msgpack`` in
+        the store when present)."""
+        store_dir = Path(store_dir)
+        meta = np.load(store_dir / "codec_meta.npz")
+        weights = Path(weights) if weights else store_dir / "diffusion_unet_final.msgpack"
+        params, mc = None, None
+        if weights.exists():
+            mc = ModelConfig.find_for_checkpoint(weights)
+            if mc is None:
+                mc = ModelConfig(z_dim=int(meta["scale"].shape[0]))
+            params = load_unet_checkpoint(weights, mc.ch_mult)
+        return cls(meta["scale"], meta["zero"], params, mc, encoder)
+
+    # ------------------------------------------------------------ compress
+
+    def compress(self, images: Sequence[Image.Image], batch_size: int = 64) -> List[bytes]:
+        """PIL images -> ``.clp`` frame bytes (CLIP encode + quantize + zstd)."""
+        if self.encoder is None:
+            from .encoders import ClipEncoder
+
+            self.encoder = ClipEncoder()
+        from .encoders.clip import preprocess_pil
+
+        feats = []
+        for s in range(0, len(images), batch_size):
+            chunk = [preprocess_pil(im, self.encoder.cfg.image_size) for im in images[s : s + batch_size]]
+            x = np.stack(chunk)
+            n = x.shape[0]
+            if n < batch_size:
+                x = np.concatenate([x, np.zeros((batch_size - n,) + x.shape[1:], x.dtype)])
+            feats.append(np.asarray(self.encoder._embed_images(jnp.asarray(x)))[:n])
+        z = np.concatenate(feats)
+        q = np.asarray(quantize(jnp.asarray(z), jnp.asarray(self.scale), jnp.asarray(self.zero)))
+        return [compress_frame(row.tobytes()) for row in q]
+
+    # ---------------------------------------------------------- decompress
+
+    def decode_embeddings(self, blobs: Sequence[bytes]) -> np.ndarray:
+        """.clp frames -> L2-normalized embeddings (no image synthesis)."""
+        q = np.stack([decompress_frame(b) for b in blobs])
+        return np.asarray(dequantize_l2norm(jnp.asarray(q), jnp.asarray(self.scale), jnp.asarray(self.zero)))
+
+    def decompress(
+        self, blobs: Sequence[bytes], size: int = 256, steps: int = 50, eta: float = 0.0,
+        batch_size: int = 16,
+    ) -> np.ndarray:
+        """.clp frames -> (N, size, size, 3) float images in [-1, 1]."""
+        if self.unet_params is None:
+            raise RuntimeError("No decoder checkpoint loaded; pass weights= to ClipCodec.load")
+        z = self.decode_embeddings(blobs)
+        sampler = DDIMSampler(self.sched, eta=eta)
+        model_fn = lambda x, zz, t: self.net.apply({"params": self.unet_params}, x, zz, t)
+        outs = []
+        n = z.shape[0]
+        for s in range(0, n, batch_size):
+            zb = z[s : s + batch_size]
+            k = zb.shape[0]
+            if k < batch_size:
+                zb = np.concatenate([zb, np.zeros((batch_size - k, self.dim), np.float32)])
+            self._rng, srng = jax.random.split(self._rng)
+            x = sampler.sample(model_fn, jnp.asarray(zb), (batch_size, size, size, 3), steps=steps, rng=srng)
+            outs.append(np.asarray(jnp.clip(x, -1, 1))[:k])
+        return np.concatenate(outs)

@@ -14,10 +14,19 @@ from typing import Optional
 
 
 class TrainLogger:
-    def __init__(self, log_every: int = 0, jsonl_path: Optional[str] = None) -> None:
+    def __init__(self, log_every: int = 0, jsonl_path: Optional[str] = None,
+                 tensorboard_dir: Optional[str] = None) -> None:
         self.log_every = log_every
         self.jsonl_path = Path(jsonl_path) if jsonl_path else None
         self._t0 = time.time()
+        self._tb = None
+        if tensorboard_dir:
+            try:  # TB per-step scalars, matching the reference SD path
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(tensorboard_dir)
+            except Exception:
+                self._tb = None
 
     def _emit(self, record: dict) -> None:
         if self.jsonl_path:
@@ -25,6 +34,8 @@ class TrainLogger:
                 f.write(json.dumps(record) + "\n")
 
     def step(self, step: int, loss) -> None:
+        if self._tb is not None:
+            self._tb.add_scalar("train/loss", float(loss), step)
         if self.log_every and step % self.log_every == 0:
             v = float(loss)
             print(f"[train] step {step} loss={v:.4f}")
@@ -34,4 +45,6 @@ class TrainLogger:
         # Same stdout shape as the reference's per-epoch print
         # (train/diffusion_train.py:145), plus throughput.
         print(f"[train] epoch {ep}/{total} loss={loss:.4f} ({imgs_per_sec:.1f} imgs/s)")
+        if self._tb is not None:
+            self._tb.add_scalar("train/epoch_loss", loss, ep)
         self._emit({"kind": "epoch", "epoch": ep, "loss": loss, "imgs_per_sec": imgs_per_sec})

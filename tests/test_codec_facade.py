@@ -1,0 +1,53 @@
+"""High-level ClipCodec facade: load from store, decompress, embeddings."""
+
+import numpy as np
+import pytest
+
+from clip_codec_tpu.codec import ClipCodec
+
+
+def test_facade_decompress(tmp_path, rng):
+    from clip_codec_tpu.codecs.quantizer import fit_affine, quantize
+    from clip_codec_tpu.io.bitstream import compress_frame
+    from clip_codec_tpu.io.store import write_store
+    from clip_codec_tpu.train import DiffusionTrainConfig, train_diffusion
+    from PIL import Image
+
+    # tiny store + trained decoder
+    img_dir = tmp_path / "imgs"; img_dir.mkdir()
+    paths = []
+    for i in range(4):
+        p = img_dir / f"{i}.png"
+        Image.fromarray(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)).save(p)
+        paths.append(str(p))
+    feats = rng.standard_normal((4, 16)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    scale, zero = fit_affine(feats)
+    q = np.asarray(quantize(feats, scale, zero))
+    store = tmp_path / "store"
+    write_store(store, feats, paths, np.asarray(scale), np.asarray(zero), q)
+    train_diffusion(store, config=DiffusionTrainConfig(
+        out_size=16, epochs=1, batch_size=4, timesteps=50, base=8, ch_mult=(1, 2), bf16=False))
+
+    codec = ClipCodec.load(store)
+    blobs = [compress_frame(q[i].tobytes()) for i in range(4)]
+    z = codec.decode_embeddings(blobs)
+    assert z.shape == (4, 16)
+    np.testing.assert_allclose(np.linalg.norm(z, axis=1), 1.0, rtol=1e-5)
+
+    imgs = codec.decompress(blobs, size=16, steps=3, batch_size=3)
+    assert imgs.shape == (4, 16, 16, 3)
+    assert np.all(np.isfinite(imgs))
+    assert np.abs(imgs).max() <= 1.0
+
+
+def test_facade_without_decoder(tmp_path, rng):
+    from clip_codec_tpu.codecs.quantizer import fit_affine
+    import numpy as np
+
+    feats = rng.standard_normal((4, 16)).astype(np.float32)
+    scale, zero = fit_affine(feats)
+    np.savez(tmp_path / "codec_meta.npz", scale=np.asarray(scale), zero=np.asarray(zero), dim=np.int32(16))
+    codec = ClipCodec.load(tmp_path)
+    with pytest.raises(RuntimeError, match="checkpoint"):
+        codec.decompress([b""], size=16)
