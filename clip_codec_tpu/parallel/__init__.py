@@ -1,4 +1,4 @@
-from .sample import sample_sharded
+from .sample import sample_sharded, sample_spatial_sharded
 from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
@@ -18,4 +18,5 @@ __all__ = [
     "replicated",
     "shard_batch",
     "sample_sharded",
+    "sample_spatial_sharded",
 ]

@@ -124,6 +124,7 @@ def train_diffusion(
     save_dir: Optional[PathLike] = None,
     clip_embed_fn: Optional[Callable] = None,
     config: Optional[DiffusionTrainConfig] = None,
+    resume: bool = False,
 ) -> Path:
     """Train the diffusion decoder on all samples from the store.
 
@@ -135,6 +136,10 @@ def train_diffusion(
     :mod:`clip_codec_tpu.encoders.clip` when weights are available); when
     None the CLIP term is skipped — note it contributes zero gradient in the
     reference anyway (see losses.py).
+
+    ``resume=True`` continues from the latest orbax full-state checkpoint in
+    ``save_dir/orbax`` (params + optimizer state + epoch) — the restart path
+    the reference lacks (it saves params only, SURVEY.md §5).
     """
     cfg = config or DiffusionTrainConfig(
         out_size=out_size, epochs=epochs, batch_size=batch_size, lr=lr,
@@ -159,6 +164,19 @@ def train_diffusion(
         z_dim=data.z_dim, base=cfg.base, ch_mult=tuple(cfg.ch_mult),
         timesteps=cfg.timesteps, schedule=cfg.schedule, out_size=cfg.out_size,
     ).save(save_dir)
+
+    from ..utils.checkpoint import TrainCheckpointer
+
+    checkpointer = TrainCheckpointer(Path(save_dir) / "orbax")
+    start_epoch = 0
+    if resume:
+        template = {"params": params, "opt_state": opt_state, "epoch": 0}
+        restored = checkpointer.restore(template)
+        if restored is not None:
+            params = restored["params"]
+            opt_state = restored["opt_state"]
+            start_epoch = int(restored["epoch"])
+            print(f"[train] resumed from epoch {start_epoch}")
     step_fn = make_train_step(net, sched, tx, cfg, clip_embed_fn)
     logger = TrainLogger(log_every=cfg.log_every)
     data_rng = np.random.default_rng(cfg.seed)
@@ -166,7 +184,7 @@ def train_diffusion(
 
     final_path: Path = save_dir / "diffusion_unet_final.msgpack"
     step = 0
-    for ep in range(cfg.epochs):
+    for ep in range(start_epoch, cfg.epochs):
         clip_on = bool(ep % 2 == 0)  # reference: every other epoch (static -> two specializations)
         losses, weights = [], []
         t0 = time.time()
@@ -185,6 +203,7 @@ def train_diffusion(
         ep_loss = float(np.average([float(l) for l in losses], weights=weights))
         imgs_per_sec = sum(weights) / max(time.time() - t0, 1e-9)
         save_params(save_dir / f"diffusion_unet_ep{ep + 1}.msgpack", params)
+        checkpointer.save(ep + 1, {"params": params, "opt_state": opt_state, "epoch": ep + 1})
         logger.epoch(ep + 1, cfg.epochs, ep_loss, imgs_per_sec)
     save_params(final_path, params)
     return final_path

@@ -67,3 +67,14 @@ def test_decompress_frame_matches_read(tmp_path, rng):
     p = tmp_path / "d.clp"
     write_bitstream(q.tobytes(), 512, p)
     np.testing.assert_array_equal(decompress_frame(p.read_bytes()), q)
+
+
+def test_committed_golden_fixture():
+    """Frames must stay byte-stable across zstd versions/environments; a
+    change here means stored .clp files are no longer reproducible."""
+    from pathlib import Path
+
+    fx = Path(__file__).parent / "fixtures"
+    q = np.load(fx / "golden_payload.npy")
+    assert compress_frame(q.tobytes()) == (fx / "golden.clp").read_bytes()
+    np.testing.assert_array_equal(decompress_frame((fx / "golden.clp").read_bytes()), q)

@@ -85,3 +85,23 @@ def test_padded_tail_batch_weighting(tiny_store, tmp_path):
     )
     ckpt = train_diffusion(tiny_store, config=cfg, save_dir=tmp_path / "ck3")
     assert ckpt.exists()
+
+
+def test_resume_from_orbax(tiny_store, tmp_path):
+    """Interrupt after 2 epochs, resume=True continues from epoch 2 with
+    optimizer state intact (the restart path the reference lacks)."""
+    save = tmp_path / "ckr"
+    cfg2 = DiffusionTrainConfig(out_size=16, epochs=2, batch_size=8, lr=1e-3,
+                                timesteps=50, base=8, ch_mult=(1, 2), bf16=False, seed=3)
+    train_diffusion(tiny_store, config=cfg2, save_dir=save)
+    assert (save / "orbax").exists()
+
+    cfg4 = DiffusionTrainConfig(out_size=16, epochs=4, batch_size=8, lr=1e-3,
+                                timesteps=50, base=8, ch_mult=(1, 2), bf16=False, seed=3)
+    ckpt = train_diffusion(tiny_store, config=cfg4, save_dir=save, resume=True)
+    assert ckpt.exists()
+    # epochs 3 and 4 were trained in the resumed run; 1-2 only in the first
+    assert (save / "diffusion_unet_ep4.msgpack").exists()
+    from clip_codec_tpu.utils.checkpoint import TrainCheckpointer
+
+    assert TrainCheckpointer(save / "orbax").latest_step() == 4
