@@ -55,18 +55,19 @@ def main() -> None:
     def run(key):
         return ddim_sample(model_fn, NoiseSchedule.create(1000, "cosine"), z, shape, steps=STEPS, rng=key)
 
-    # Warm-up compile
+    # Warm-up compile. NOTE: block_until_ready is not trustworthy over the
+    # axon remote tunnel (returns early); np.asarray forces real completion.
     t0 = time.time()
-    run(jax.random.PRNGKey(0)).block_until_ready()
+    np.asarray(run(jax.random.PRNGKey(0)))
     compile_s = time.time() - t0
     print(f"[bench] compile+first-run {compile_s:.1f}s (batch={BATCH})", file=sys.stderr)
 
-    # Timed runs
+    # Timed runs, host-materialized at the end (honest completion barrier).
     n_rep = 3
     t0 = time.time()
     for i in range(n_rep):
         out = run(jax.random.PRNGKey(i + 1))
-    out.block_until_ready()
+    np.asarray(out)
     dt = (time.time() - t0) / n_rep
     imgs_per_sec = BATCH / dt
     print(f"[bench] {dt:.2f}s per DDIM-{STEPS} batch of {BATCH} @ {SIZE}px", file=sys.stderr)

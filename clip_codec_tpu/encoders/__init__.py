@@ -65,20 +65,23 @@ class ClipEncoder:
         self._bpe_path = bpe_path
         self._tokenizer: Optional[CLIPTokenizer] = None
 
+        # Params are ARGUMENTS to the jitted fns, not closure constants:
+        # closed-over arrays get serialized into the program (600MB for
+        # ViT-B/32), which breaks remote-compile setups and bloats caches.
         @jax.jit
-        def _embed_images(pixels):
-            z = self.model.apply(self.params, pixels, method=CLIPModel.encode_image)
+        def _embed_images_p(params, pixels):
+            z = self.model.apply(params, pixels, method=CLIPModel.encode_image)
             z = z.astype(jnp.float32)
             return z / jnp.linalg.norm(z, axis=-1, keepdims=True)
 
         @jax.jit
-        def _embed_tokens(tokens):
-            z = self.model.apply(self.params, tokens, method=CLIPModel.encode_text)
+        def _embed_tokens_p(params, tokens):
+            z = self.model.apply(params, tokens, method=CLIPModel.encode_text)
             z = z.astype(jnp.float32)
             return z / jnp.linalg.norm(z, axis=-1, keepdims=True)
 
-        self._embed_images = _embed_images
-        self._embed_tokens = _embed_tokens
+        self._embed_images = lambda pixels: _embed_images_p(self.params, pixels)
+        self._embed_tokens = lambda tokens: _embed_tokens_p(self.params, tokens)
 
     @property
     def tokenizer(self) -> CLIPTokenizer:
@@ -152,11 +155,11 @@ class DinoEncoder:
         self.params = {"params": convert_dino_hf(sd, cfg.depth)}
 
         @jax.jit
-        def _embed(pixels):
-            z = self.model.apply(self.params, pixels).astype(jnp.float32)
+        def _embed_p(params, pixels):
+            z = self.model.apply(params, pixels).astype(jnp.float32)
             return z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-9)
 
-        self._embed = _embed
+        self._embed = lambda pixels: _embed_p(self.params, pixels)
 
     def encode_images(self, paths: Sequence[str], batch_size: int = 16) -> Tuple[np.ndarray, List[str]]:
         zs, kept, batch, bpaths = [], [], [], []

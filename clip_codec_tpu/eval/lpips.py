@@ -100,7 +100,9 @@ class LPIPSModel:
 
     def __init__(self, params: Dict) -> None:
         self.params = params
-        self.distance = jax.jit(lambda a, b: lpips_forward(self.params, a, b))
+        # params as jit argument, not closure constant (see encoders/__init__)
+        _dist = jax.jit(lpips_forward)
+        self.distance = lambda a, b: _dist(self.params, a, b)
 
     @classmethod
     def from_checkpoint(cls, path) -> "LPIPSModel":

@@ -60,9 +60,7 @@ class StoreData:
     def _load_images(self, idx: np.ndarray) -> np.ndarray:
         return np.stack([load_image_m11(self.image_paths[i], self.out_size) for i in idx])
 
-    def epoch(self, batch_size: int, rng: np.random.Generator, shuffle: bool = True) -> Iterator[Batch]:
-        """Fixed-shape batches over one epoch; pads the tail with repeats and
-        zero weights."""
+    def _epoch_sync(self, batch_size: int, rng: np.random.Generator, shuffle: bool) -> Iterator[Batch]:
         n = len(self)
         order = rng.permutation(n) if shuffle else np.arange(n)
         for s in range(0, n, batch_size):
@@ -73,3 +71,36 @@ class StoreData:
                 idx = np.concatenate([idx, idx[np.zeros(pad, dtype=int)]])
                 w = np.concatenate([w, np.zeros(pad, dtype=np.float32)])
             yield Batch(x0=self._load_images(idx), z=self.z[idx], weight=w)
+
+    def epoch(
+        self, batch_size: int, rng: np.random.Generator, shuffle: bool = True, prefetch: int = 2
+    ) -> Iterator[Batch]:
+        """Fixed-shape batches over one epoch; pads the tail with repeats and
+        zero weights. ``prefetch > 0`` decodes upcoming batches on a host
+        thread so PIL work overlaps device compute (the reference uses
+        DataLoader workers for the same purpose, ``diffusion_train.py:101``);
+        ``prefetch=0`` is fully synchronous."""
+        it = self._epoch_sync(batch_size, rng, shuffle)
+        if prefetch <= 0:
+            yield from it
+            return
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        _END = object()
+
+        def producer():
+            try:
+                for b in it:
+                    q.put(b)
+            finally:
+                q.put(_END)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            yield item

@@ -41,3 +41,32 @@ def test_manifest_schema(tmp_path, rng):
     assert meta["scale"].dtype == np.float32
     assert meta["zero"].dtype == np.float32
     assert int(meta["dim"]) == 16
+
+
+def test_epoch_prefetch_equivalence(tmp_path, rng):
+    """Prefetched and synchronous epoch iteration yield identical batches."""
+    from PIL import Image
+
+    from clip_codec_tpu.train.data import StoreData
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    paths = []
+    for i in range(5):
+        p = img_dir / f"{i}.png"
+        Image.fromarray(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)).save(p)
+        paths.append(str(p))
+    feats = rng.standard_normal((5, 8)).astype(np.float32)
+    scale, zero = fit_affine(feats)
+    q = np.asarray(quantize(feats, scale, zero))
+    store = tmp_path / "s"
+    write_store(store, feats, paths, np.asarray(scale), np.asarray(zero), q)
+
+    data = StoreData(store, out_size=8)
+    a = list(data.epoch(2, np.random.default_rng(1), prefetch=2))
+    b = list(data.epoch(2, np.random.default_rng(1), prefetch=0))
+    assert len(a) == len(b) == 3
+    for ba, bb in zip(a, b):
+        np.testing.assert_array_equal(ba.x0, bb.x0)
+        np.testing.assert_array_equal(ba.z, bb.z)
+        np.testing.assert_array_equal(ba.weight, bb.weight)
