@@ -78,3 +78,32 @@ def test_committed_golden_fixture():
     q = np.load(fx / "golden_payload.npy")
     assert compress_frame(q.tobytes()) == (fx / "golden.clp").read_bytes()
     np.testing.assert_array_equal(decompress_frame((fx / "golden.clp").read_bytes()), q)
+
+
+def test_truncated_frame_raises(tmp_path, rng):
+    q = rng.integers(0, 256, size=128, dtype=np.uint8)
+    full = compress_frame(q.tobytes())
+    p = tmp_path / "trunc.clp"
+    p.write_bytes(full[: len(full) // 2])
+    with pytest.raises(Exception):  # zstd error or length mismatch
+        read_bitstream(p)
+
+
+def test_empty_file_raises(tmp_path):
+    p = tmp_path / "empty.clp"
+    p.write_bytes(b"")
+    with pytest.raises(ValueError):
+        read_bitstream(p)
+
+
+def test_length_field_beyond_eof_tolerated(tmp_path, rng):
+    """A length field larger than the file still decodes: the payload slice
+    truncates at EOF and zstd sees the complete frame. The reference reader
+    (io/bitstream.py:29-33, f.read(ln) short-reads) behaves identically —
+    tolerance parity, pinned here."""
+    q = rng.integers(0, 256, size=64, dtype=np.uint8)
+    full = bytearray(compress_frame(q.tobytes()))
+    full[4:8] = (2**31).to_bytes(4, "little")  # absurd length
+    p = tmp_path / "lie.clp"
+    p.write_bytes(bytes(full))
+    np.testing.assert_array_equal(read_bitstream(p), q)
