@@ -75,8 +75,18 @@ class ClipCodec:
         if weights.exists():
             mc = ModelConfig.find_for_checkpoint(weights)
             if mc is None:
-                mc = ModelConfig(z_dim=int(meta["scale"].shape[0]))
-            params = load_unet_checkpoint(weights, mc.ch_mult)
+                # No model_config.json (older checkpoint): infer the
+                # architecture from the parameter tree itself.
+                from .utils.checkpoint import load_params
+
+                probe = load_params(weights) if weights.suffix == ".msgpack" else None
+                if probe is not None:
+                    mc = ModelConfig.infer_from_params(probe)
+                    params = probe
+                else:
+                    mc = ModelConfig(z_dim=int(meta["scale"].shape[0]))
+            if params is None:
+                params = load_unet_checkpoint(weights, mc.ch_mult)
         return cls(meta["scale"], meta["zero"], params, mc, encoder)
 
     # ------------------------------------------------------------ compress

@@ -50,3 +50,23 @@ class ModelConfig:
         """The config sitting next to a checkpoint file, if any."""
         cand = Path(weights_path).parent / CONFIG_NAME
         return cls.load(cand) if cand.exists() else None
+
+    @classmethod
+    def infer_from_params(cls, params, **overrides) -> "ModelConfig":
+        """Reconstruct the architecture from a CLIPCondUNet param tree:
+        ``base`` from the stem conv, ``ch_mult`` from each stage's downsample
+        conv channel ratio, ``z_dim`` from the conditioning projection. Makes
+        checkpoints self-describing even without model_config.json."""
+        base = int(params["in_conv"]["kernel"].shape[-1])
+        z_dim = int(params["z_proj_0"]["kernel"].shape[0])
+        time_dim = int(params["z_proj_0"]["kernel"].shape[1])
+        img_ch = int(params["in_conv"]["kernel"].shape[-2])
+        ch_mult = []
+        i = 0
+        while f"down_{i}_ds" in params:
+            k = params[f"down_{i}_ds"]["kernel"]
+            ch_mult.append(int(k.shape[-1]) // int(k.shape[-2]))
+            i += 1
+        d = dict(z_dim=z_dim, base=base, ch_mult=tuple(ch_mult), time_dim=time_dim, img_ch=img_ch)
+        d.update(overrides)
+        return cls(**d)

@@ -51,3 +51,34 @@ def test_facade_without_decoder(tmp_path, rng):
     codec = ClipCodec.load(tmp_path)
     with pytest.raises(RuntimeError, match="checkpoint"):
         codec.decompress([b""], size=16)
+
+
+def test_facade_infers_config_without_json(tmp_path, rng):
+    """ClipCodec.load works on a checkpoint with NO model_config.json by
+    inferring base/ch_mult/z_dim from the parameter tree (regression: raw
+    ScopeParamShapeError before)."""
+    from clip_codec_tpu.codecs.quantizer import fit_affine, quantize
+    from clip_codec_tpu.io.bitstream import compress_frame
+    from clip_codec_tpu.io.store import write_store
+    from clip_codec_tpu.train import DiffusionTrainConfig, train_diffusion
+    from PIL import Image
+
+    img_dir = tmp_path / "imgs"; img_dir.mkdir()
+    paths = []
+    for i in range(2):
+        p = img_dir / f"{i}.png"
+        Image.fromarray(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)).save(p)
+        paths.append(str(p))
+    feats = rng.standard_normal((2, 16)).astype(np.float32)
+    scale, zero = fit_affine(feats)
+    q = np.asarray(quantize(feats, scale, zero))
+    store = tmp_path / "store"
+    write_store(store, feats, paths, np.asarray(scale), np.asarray(zero), q)
+    train_diffusion(store, config=DiffusionTrainConfig(
+        out_size=16, epochs=1, batch_size=2, timesteps=50, base=8, ch_mult=(1, 2), bf16=False))
+    (store / "model_config.json").unlink()  # simulate an older checkpoint dir
+
+    codec = ClipCodec.load(store)
+    assert codec.mc.base == 8 and codec.mc.ch_mult == (1, 2) and codec.mc.z_dim == 16
+    out = codec.decompress([compress_frame(q[0].tobytes())], size=16, steps=2, batch_size=1)
+    assert out.shape == (1, 16, 16, 3)

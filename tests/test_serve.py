@@ -1,0 +1,106 @@
+"""HTTP serving layer: drive a live server through real sockets."""
+
+import http.client
+import json
+import threading
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from clip_codec_tpu.codecs.quantizer import fit_affine, quantize
+from clip_codec_tpu.io.bitstream import compress_frame
+from clip_codec_tpu.io.store import write_store
+from clip_codec_tpu.serve import serve
+from clip_codec_tpu.train import DiffusionTrainConfig, train_diffusion
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("serve")
+    rng = np.random.default_rng(0)
+    img_dir = tmp / "imgs"
+    img_dir.mkdir()
+    paths = []
+    for i in range(4):
+        p = img_dir / f"{i}.png"
+        Image.fromarray(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)).save(p)
+        paths.append(str(p))
+    feats = rng.standard_normal((4, 16)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    scale, zero = fit_affine(feats)
+    q = np.asarray(quantize(feats, scale, zero))
+    store = tmp / "store"
+    write_store(store, feats, paths, np.asarray(scale), np.asarray(zero), q)
+    train_diffusion(store, config=DiffusionTrainConfig(
+        out_size=16, epochs=1, batch_size=4, timesteps=50, base=8, ch_mult=(1, 2), bf16=False))
+
+    srv = serve(str(store), port=0)  # ephemeral port
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv.server_address, q
+    srv.shutdown()
+
+
+def _request(addr, method, path, body=None):
+    conn = http.client.HTTPConnection(*addr, timeout=120)
+    conn.request(method, path, body=body)
+    resp = conn.getresponse()
+    data = resp.read()
+    conn.close()
+    return resp.status, resp.getheader("Content-Type"), data
+
+
+def test_healthz(server):
+    addr, _ = server
+    status, ctype, data = _request(addr, "GET", "/healthz")
+    assert status == 200
+    assert json.loads(data) == {"status": "ok", "dim": 16}
+
+
+def test_embed_endpoint(server):
+    addr, q = server
+    blob = compress_frame(q[0].tobytes())
+    status, _, data = _request(addr, "POST", "/embed", blob)
+    assert status == 200
+    z = np.array(json.loads(data)["embedding"], np.float32)
+    assert z.shape == (16,)
+    assert abs(np.linalg.norm(z) - 1.0) < 1e-4
+
+
+def test_decompress_endpoint(server):
+    addr, q = server
+    blob = compress_frame(q[1].tobytes())
+    status, ctype, data = _request(addr, "POST", "/decompress?size=16&steps=3", blob)
+    assert status == 200
+    assert ctype == "image/png"
+    import io as _io
+
+    img = Image.open(_io.BytesIO(data))
+    assert img.size == (16, 16)
+
+
+def test_compress_gated_without_weights(server, monkeypatch):
+    monkeypatch.delenv("CLIP_CODEC_CLIP_WEIGHTS", raising=False)
+    addr, _ = server
+    buf_img = Image.new("RGB", (16, 16), (100, 50, 25))
+    import io as _io
+
+    buf = _io.BytesIO()
+    buf_img.save(buf, format="PNG")
+    status, _, data = _request(addr, "POST", "/compress", buf.getvalue())
+    assert status == 503
+    assert "CLIP" in json.loads(data)["error"]
+
+
+def test_bad_bitstream_400(server):
+    addr, _ = server
+    status, _, data = _request(addr, "POST", "/embed", b"garbage")
+    assert status == 400
+    assert "error" in json.loads(data)
+
+
+def test_unknown_endpoint_404(server):
+    addr, _ = server
+    status, _, _ = _request(addr, "POST", "/nope", b"")
+    assert status == 404
