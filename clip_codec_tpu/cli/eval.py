@@ -71,8 +71,10 @@ def main() -> None:
     rng = jax.random.PRNGKey(args.seed)
     for s in range(0, n, B):
         idx = list(range(s, min(s + B, n)))
+        from ..utils.batching import pad_rows
+
         z = np.stack([store.decode_vector(i) for i in idx])
-        zb = np.concatenate([z, np.zeros((B - len(idx), z.shape[1]), np.float32)]) if len(idx) < B else z
+        zb = pad_rows(z, B)
         rng, srng = jax.random.split(rng)
         x = sampler.sample(model_fn, jnp.asarray(zb), (B, args.size, args.size, 3), steps=args.steps, rng=srng)
         recon = np.asarray(jnp.clip(x, -1, 1))[: len(idx)]

@@ -114,7 +114,7 @@ def main() -> None:
             def embed_fn(x_m11):  # reference _clip_preprocess_torch semantics
                 x = (jnp.clip(x_m11, -1, 1) + 1.0) / 2.0
                 B = x.shape[0]
-                x = jax.image.resize(x, (B, 224, 224, 3), method="bilinear")
+                x = jax.image.resize(x, (B, 224, 224, 3), method="bilinear", antialias=False)
                 x = (x - jnp.asarray(CLIP_MEAN)) / jnp.asarray(CLIP_STD)
                 return enc.model.apply(enc.params, x, method=CLIPModel.encode_image).astype(jnp.float32)
 
@@ -128,7 +128,7 @@ def main() -> None:
             def embed_fn(x_m11):
                 x = (jnp.clip(x_m11, -1, 1) + 1.0) / 2.0
                 B = x.shape[0]
-                x = jax.image.resize(x, (B, size, size, 3), method="bilinear")
+                x = jax.image.resize(x, (B, size, size, 3), method="bilinear", antialias=False)
                 x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
                 return denc.model.apply(denc.params, x).astype(jnp.float32)
 

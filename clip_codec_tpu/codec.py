@@ -50,6 +50,9 @@ class ClipCodec:
         self.mc = model_config
         self.unet_params = unet_params
         self._rng = jax.random.PRNGKey(rng_seed)
+        self.net = None
+        self.sched = None
+        self._model_fn = None
         if unet_params is not None and model_config is not None:
             self.net = CLIPCondUNet(
                 z_dim=model_config.z_dim, base=model_config.base,
@@ -57,6 +60,12 @@ class ClipCodec:
                 dtype=jnp.bfloat16,
             )
             self.sched = NoiseSchedule.create(model_config.timesteps, model_config.schedule)
+            # One stable callable for the sampler: ddim_sample jits with
+            # model_fn static, so a fresh lambda per call would retrace and
+            # recompile the whole DDIM program on every request.
+            net = self.net
+            params = {"params": unet_params}
+            self._model_fn = lambda x, zz, t: net.apply(params, x, zz, t)
 
     @classmethod
     def load(
@@ -83,6 +92,12 @@ class ClipCodec:
                 if probe is not None:
                     mc = ModelConfig.infer_from_params(probe)
                     params = probe
+                    print(
+                        "[ClipCodec] no model_config.json next to the checkpoint: "
+                        f"inferred arch (base={mc.base}, ch_mult={mc.ch_mult}); "
+                        f"assuming timesteps={mc.timesteps}/{mc.schedule} — wrong if "
+                        "trained with a non-default schedule."
+                    )
                 else:
                     mc = ModelConfig(z_dim=int(meta["scale"].shape[0]))
             if params is None:
@@ -99,14 +114,14 @@ class ClipCodec:
             self.encoder = ClipEncoder()
         from .encoders.clip import preprocess_pil
 
+        from .utils.batching import pad_rows
+
         feats = []
         for s in range(0, len(images), batch_size):
             chunk = [preprocess_pil(im, self.encoder.cfg.image_size) for im in images[s : s + batch_size]]
             x = np.stack(chunk)
             n = x.shape[0]
-            if n < batch_size:
-                x = np.concatenate([x, np.zeros((batch_size - n,) + x.shape[1:], x.dtype)])
-            feats.append(np.asarray(self.encoder._embed_images(jnp.asarray(x)))[:n])
+            feats.append(np.asarray(self.encoder._embed_images(jnp.asarray(pad_rows(x, batch_size))))[:n])
         z = np.concatenate(feats)
         q = np.asarray(quantize(jnp.asarray(z), jnp.asarray(self.scale), jnp.asarray(self.zero)))
         return [compress_frame(row.tobytes()) for row in q]
@@ -123,18 +138,22 @@ class ClipCodec:
         batch_size: int = 16,
     ) -> np.ndarray:
         """.clp frames -> (N, size, size, 3) float images in [-1, 1]."""
-        if self.unet_params is None:
-            raise RuntimeError("No decoder checkpoint loaded; pass weights= to ClipCodec.load")
+        if self._model_fn is None:
+            raise RuntimeError(
+                "No decoder loaded (checkpoint and model config both required); "
+                "pass weights= to ClipCodec.load"
+            )
         z = self.decode_embeddings(blobs)
         sampler = DDIMSampler(self.sched, eta=eta)
-        model_fn = lambda x, zz, t: self.net.apply({"params": self.unet_params}, x, zz, t)
+        model_fn = self._model_fn
         outs = []
         n = z.shape[0]
+        from .utils.batching import pad_rows
+
         for s in range(0, n, batch_size):
             zb = z[s : s + batch_size]
             k = zb.shape[0]
-            if k < batch_size:
-                zb = np.concatenate([zb, np.zeros((batch_size - k, self.dim), np.float32)])
+            zb = pad_rows(zb, batch_size)
             self._rng, srng = jax.random.split(self._rng)
             x = sampler.sample(model_fn, jnp.asarray(zb), (batch_size, size, size, 3), steps=steps, rng=srng)
             outs.append(np.asarray(jnp.clip(x, -1, 1))[:k])

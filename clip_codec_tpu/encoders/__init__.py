@@ -102,11 +102,11 @@ class ClipEncoder:
         def flush():
             if not batch:
                 return
+            from ..utils.batching import pad_rows
+
             x = np.stack(batch)
             n = x.shape[0]
-            if n < batch_size:  # pad to fixed shape, drop pad rows after
-                x = np.concatenate([x, np.zeros((batch_size - n,) + x.shape[1:], x.dtype)])
-            z = np.asarray(self._embed_images(jnp.asarray(x)))[:n]
+            z = np.asarray(self._embed_images(jnp.asarray(pad_rows(x, batch_size))))[:n]
             zs.append(z)
             kept.extend(bpaths)
             batch.clear()
@@ -167,11 +167,11 @@ class DinoEncoder:
         def flush():
             if not batch:
                 return
+            from ..utils.batching import pad_rows
+
             x = np.stack(batch)
             n = x.shape[0]
-            if n < batch_size:
-                x = np.concatenate([x, np.zeros((batch_size - n,) + x.shape[1:], x.dtype)])
-            zs.append(np.asarray(self._embed(jnp.asarray(x)))[:n])
+            zs.append(np.asarray(self._embed(jnp.asarray(pad_rows(x, batch_size))))[:n])
             kept.extend(bpaths)
             batch.clear()
             bpaths.clear()

@@ -153,5 +153,5 @@ def embed_m11_images(model: CLIPModel, params, images_m11: jax.Array) -> jax.Arr
     bilinear-resized to 224 with NO mean/std normalization
     (``train/diffusion_train.py:132`` feeds exactly this)."""
     B = images_m11.shape[0]
-    x = jax.image.resize(images_m11, (B, 224, 224, images_m11.shape[-1]), method="bilinear")
+    x = jax.image.resize(images_m11, (B, 224, 224, images_m11.shape[-1]), method="bilinear", antialias=False)
     return model.apply(params, x, method=CLIPModel.encode_image)

@@ -77,9 +77,18 @@ class DinoV2(nn.Module):
 def preprocess_dino(img_m01: np.ndarray, image_size: int = 518) -> np.ndarray:
     """(H, W, 3) float in [0,1] -> bilinear resize + ImageNet normalize,
     matching the reference's manual timm transform
-    (``encode_images_dino.py:27-36``: plain resize, no crop)."""
-    x = jax.image.resize(jnp.asarray(img_m01, jnp.float32), (image_size, image_size, 3), method="bilinear")
-    return np.asarray((x - IMAGENET_MEAN) / IMAGENET_STD)
+    (``encode_images_dino.py:27-36``: plain resize, no crop; torch
+    F.interpolate semantics = half-pixel, no antialias).
+
+    Runs on the host CPU backend: this sits inside the per-image loading loop,
+    and an accelerator resize there would add a device round trip plus one
+    compile per distinct source resolution."""
+    with jax.default_device(jax.devices("cpu")[0]):
+        x = jax.image.resize(
+            jnp.asarray(img_m01, jnp.float32), (image_size, image_size, 3),
+            method="bilinear", antialias=False,
+        )
+        return np.asarray((x - IMAGENET_MEAN) / IMAGENET_STD)
 
 
 def convert_dino_hf(sd: Mapping, depth: int = 12) -> Dict:

@@ -23,7 +23,10 @@ _TRIED = False
 
 def _build() -> Optional[Path]:
     so = _NATIVE_DIR / "libstore_codec.so"
-    if so.exists():
+    src = _NATIVE_DIR / "store_codec.cpp"
+    # Rebuild when missing OR stale (source newer than the binary) — a stale
+    # or foreign-ABI .so would otherwise pin the native path off forever.
+    if so.exists() and src.exists() and so.stat().st_mtime >= src.stat().st_mtime:
         return so
     try:
         subprocess.run(

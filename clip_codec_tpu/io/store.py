@@ -67,6 +67,8 @@ class Store:
     def decode_all(self, renormalize: bool = True) -> np.ndarray:
         """Dequantize every record into an ``(N, D)`` float32 matrix (native
         batched zstd when built, python fallback otherwise)."""
+        if not self.manifest:
+            return np.zeros((0, self.dim), dtype=np.float32)
         from .native import decompress_frames
 
         frames = [Path(rec["bitstream"]).read_bytes() for rec in self.manifest]
@@ -106,6 +108,17 @@ def write_store(
     )
     manifest: List[Dict[str, str]] = []
     q_mat = np.ascontiguousarray(np.asarray(quantized, dtype=np.uint8))
+    # Stem-collision guard: the reference names bitstreams by image stem only
+    # (cli/encode_images.py:81), so a/img.png and b/img.png silently clobber
+    # each other's .clp. Keep the reference naming for unique stems; suffix
+    # duplicates deterministically.
+    seen: Dict[str, int] = {}
+    stems: List[str] = []
+    for p in image_paths:
+        stem = Path(p).stem
+        k = seen.get(stem, 0)
+        seen[stem] = k + 1
+        stems.append(stem if k == 0 else f"{stem}__{k}")
     from .native import compress_frames
 
     # Native and python paths are guaranteed byte-identical (the native lib
@@ -113,7 +126,7 @@ def write_store(
     # mismatch), so which one runs never changes the stored bytes.
     frames = compress_frames(q_mat) if len(image_paths) > 0 else None
     for i, p in enumerate(image_paths):
-        out_path = out / (Path(p).stem + ".clp")
+        out_path = out / (stems[i] + ".clp")
         if frames is not None:
             out_path.write_bytes(frames[i])
         else:

@@ -29,8 +29,10 @@ Dtype = Any
 
 
 def _resize_bilinear(x: jax.Array, h: int, w: int) -> jax.Array:
+    # antialias=False matches torch F.interpolate(mode='bilinear',
+    # align_corners=False), the op the reference uses for every resize.
     B, _, _, C = x.shape
-    return jax.image.resize(x, (B, h, w, C), method="bilinear")
+    return jax.image.resize(x, (B, h, w, C), method="bilinear", antialias=False)
 
 
 class CLIPCondDecoder(nn.Module):

@@ -61,15 +61,11 @@ class StoreData:
         return np.stack([load_image_m11(self.image_paths[i], self.out_size) for i in idx])
 
     def _epoch_sync(self, batch_size: int, rng: np.random.Generator, shuffle: bool) -> Iterator[Batch]:
+        from ..utils.batching import padded_index_batches
+
         n = len(self)
         order = rng.permutation(n) if shuffle else np.arange(n)
-        for s in range(0, n, batch_size):
-            idx = order[s : s + batch_size]
-            w = np.ones(len(idx), dtype=np.float32)
-            if len(idx) < batch_size:
-                pad = batch_size - len(idx)
-                idx = np.concatenate([idx, idx[np.zeros(pad, dtype=int)]])
-                w = np.concatenate([w, np.zeros(pad, dtype=np.float32)])
+        for idx, w in padded_index_batches(n, batch_size, order):
             yield Batch(x0=self._load_images(idx), z=self.z[idx], weight=w)
 
     def epoch(

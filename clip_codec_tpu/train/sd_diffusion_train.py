@@ -148,7 +148,7 @@ def train_sd_diffusion(
                 # (and being zeroed) on every step.
                 from ..eval.lpips import lpips_forward
 
-                gt_small = jax.image.resize(gt_img, x_hat.shape, method="bilinear")
+                gt_small = jax.image.resize(gt_img, x_hat.shape, method="bilinear", antialias=False)
                 per = per + cfg.perc_w * lpips_forward(lpips_model.params, x_hat, gt_small)
         return weighted_mean(per, weight)
 
@@ -167,17 +167,13 @@ def train_sd_diffusion(
     rng = jax.random.PRNGKey(cfg.seed + 1)
     n = len(data)
     step = 0
+    from ..utils.batching import padded_index_batches
+
     for ep in range(cfg.epochs):
         order = host_rng.permutation(n)
         losses, wsums = [], []
         t0 = time.time()
-        for s in range(0, n, cfg.batch_size):
-            idx = order[s : s + cfg.batch_size]
-            w = np.ones(len(idx), np.float32)
-            if len(idx) < cfg.batch_size:
-                pad = cfg.batch_size - len(idx)
-                idx = np.concatenate([idx, idx[np.zeros(pad, int)]])
-                w = np.concatenate([w, np.zeros(pad, np.float32)])
+        for idx, w in padded_index_batches(n, cfg.batch_size, order):
             z, lat0, img = data.batch(idx)
             rng, srng = jax.random.split(rng)
             perc_on = bool(lpips_model is not None and step % cfg.perc_every == 0)
