@@ -1,0 +1,67 @@
+"""Train the pixel-space diffusion decoder from the command line.
+
+[Beyond-reference] The reference exposes training only as an importable
+function (``README.md:52-58`` runs ``python -c "...train_diffusion(...)"``);
+this wraps it with the same kwarg names as flags.
+
+Run: ``python -m clip_codec_tpu.cli.train --store_dir store [--epochs 40] ...``
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from ._common import apply_device_flag, default_device
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="Train the CLIP-conditioned diffusion decoder on a store.")
+    ap.add_argument("--store_dir", type=str, required=True)
+    ap.add_argument("--out_size", type=int, default=256)
+    ap.add_argument("--epochs", type=int, default=40)
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--timesteps", type=int, default=1000)
+    ap.add_argument("--schedule", type=str, default="cosine", choices=["cosine", "linear"])
+    ap.add_argument("--recon_w", type=float, default=0.05)
+    ap.add_argument("--clip_w", type=float, default=0.1)
+    ap.add_argument("--tv_w", type=float, default=1e-4)
+    ap.add_argument("--save_dir", type=str, default=None)
+    ap.add_argument("--base", type=int, default=128)
+    ap.add_argument("--ch_mult", type=str, default="1,2,2")
+    ap.add_argument("--no_bf16", action="store_true")
+    ap.add_argument("--resume", action="store_true", help="continue from the latest orbax checkpoint")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--log_every", type=int, default=0)
+    ap.add_argument("--device", type=str, default=default_device())
+    ap.add_argument("--clip_weights", type=str, default=None,
+                    help="enable the CLIP-alignment loss term with these CLIP weights")
+    args = ap.parse_args()
+    apply_device_flag(args.device)
+
+    from ..train import DiffusionTrainConfig, train_diffusion
+
+    clip_embed_fn = None
+    if args.clip_weights:
+        import jax.numpy as jnp
+
+        from ..encoders import ClipEncoder
+        from ..encoders.clip import CLIPModel, embed_m11_images
+
+        enc = ClipEncoder(weights_path=args.clip_weights, dtype=jnp.bfloat16)
+        clip_embed_fn = lambda imgs: embed_m11_images(enc.model, enc.params, imgs)
+
+    cfg = DiffusionTrainConfig(
+        out_size=args.out_size, epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
+        timesteps=args.timesteps, schedule=args.schedule, recon_w=args.recon_w,
+        clip_w=args.clip_w, tv_w=args.tv_w, base=args.base,
+        ch_mult=tuple(int(c) for c in args.ch_mult.split(",")),
+        bf16=not args.no_bf16, seed=args.seed, log_every=args.log_every,
+    )
+    ckpt = train_diffusion(args.store_dir, config=cfg, save_dir=args.save_dir,
+                           clip_embed_fn=clip_embed_fn, resume=args.resume)
+    print(f"Final checkpoint: {ckpt}")
+
+
+if __name__ == "__main__":
+    main()

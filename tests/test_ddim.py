@@ -151,3 +151,26 @@ def test_ddpm_ancestral_sampler(rng):
     # deterministic given the key
     out2 = ddpm_sample(model_fn, sched, z, (2, 8, 8, 3), rng=jax.random.PRNGKey(0))
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_committed_golden_trajectory():
+    """Regression pin: a fixed tiny model + fixed keys must reproduce the
+    committed DDIM trajectory bit-close across refactors/versions."""
+    import jax
+    import jax.numpy as jnp
+    from pathlib import Path
+
+    from clip_codec_tpu.models import CLIPCondUNet
+
+    net = CLIPCondUNet(z_dim=8, base=8, ch_mult=(1, 2), img_ch=3)
+    params = net.init(jax.random.PRNGKey(123), jnp.zeros((1, 8, 8, 3)),
+                      jnp.zeros((1, 8)), jnp.zeros((1,), jnp.int32))
+    z = jax.random.normal(jax.random.PRNGKey(7), (2, 8), jnp.float32)
+    # linear schedule: the cosine tail's ~1e-10 alpha-bar amplifies fp noise
+    # from environment differences (device counts, fusion choices) beyond any
+    # useful tolerance.
+    sched = NoiseSchedule.create(100, "linear")
+    out = np.asarray(ddim_sample(lambda x, zz, t: net.apply(params, x, zz, t),
+                                 sched, z, (2, 8, 8, 3), steps=6, rng=jax.random.PRNGKey(42)))
+    golden = np.load(Path(__file__).parent / "fixtures" / "golden_ddim.npz")["out"]
+    np.testing.assert_allclose(out, golden, rtol=1e-4, atol=1e-5)

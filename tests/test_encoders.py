@@ -167,3 +167,29 @@ def test_dino_preprocess():
     assert out.shape == (28, 28, 3)
     expect = (0.5 - np.array([0.485, 0.456, 0.406])) / np.array([0.229, 0.224, 0.225])
     np.testing.assert_allclose(out[0, 0], expect, rtol=1e-5)
+
+
+def test_resize_matches_torch_interpolate(rng):
+    """jax.image.resize(antialias=False, 'bilinear') must equal torch
+    F.interpolate(mode='bilinear', align_corners=False) — the op behind every
+    reference resize. Guards the antialias=False convention."""
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+
+    x = rng.standard_normal((2, 3, 37, 53)).astype(np.float32)
+    ref = torch.nn.functional.interpolate(
+        torch.from_numpy(x), size=(16, 16), mode="bilinear", align_corners=False
+    ).numpy()
+    ours = np.asarray(jax.image.resize(
+        jnp.asarray(x.transpose(0, 2, 3, 1)), (2, 16, 16, 3), method="bilinear", antialias=False
+    )).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+    # upsampling too
+    ref_up = torch.nn.functional.interpolate(
+        torch.from_numpy(x), size=(64, 64), mode="bilinear", align_corners=False
+    ).numpy()
+    ours_up = np.asarray(jax.image.resize(
+        jnp.asarray(x.transpose(0, 2, 3, 1)), (2, 64, 64, 3), method="bilinear", antialias=False
+    )).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(ours_up, ref_up, rtol=1e-5, atol=1e-5)
