@@ -135,3 +135,20 @@ def test_model_config_autopickup(trained_store, monkeypatch, tmp_path):
         "--size", "16", "--device", "cpu",
     ])
     assert out.exists()
+
+
+def test_train_cli(trained_store, monkeypatch, tmp_path, capsys):
+    """The beyond-reference train CLI end-to-end on a tiny store."""
+    from clip_codec_tpu.cli.train import main
+
+    store, ckpt, tmp = trained_store
+    _run_cli(monkeypatch, main, [
+        "--store_dir", str(store), "--out_size", "16", "--epochs", "1",
+        "--batch_size", "4", "--timesteps", "50", "--base", "8",
+        "--ch_mult", "1,2", "--no_bf16", "--device", "cpu",
+        "--save_dir", str(tmp_path / "tcli"),
+    ])
+    out = capsys.readouterr().out
+    assert "Final checkpoint:" in out
+    assert (tmp_path / "tcli" / "diffusion_unet_final.msgpack").exists()
+    assert (tmp_path / "tcli" / "model_config.json").exists()

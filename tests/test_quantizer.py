@@ -93,3 +93,27 @@ def test_dino_variant_eps(rng):
     z_min, z_max = X.min(axis=0), X.max(axis=0)
     expect = np.maximum(z_max - z_min, 1e-6) / 255.0
     np.testing.assert_allclose(np.asarray(scale), expect.astype(np.float32), rtol=1e-6)
+
+
+def test_losses_edge_cases(rng):
+    """weighted_mean with all-zero weights, TV on flat images."""
+    import jax.numpy as jnp
+
+    from clip_codec_tpu.train.losses import total_variation, weighted_mean
+
+    # all-pad batch: mean must not divide by zero
+    v = weighted_mean(jnp.ones(4), jnp.zeros(4))
+    assert np.isfinite(float(v))
+    # flat image has zero TV
+    tv = total_variation(jnp.ones((2, 8, 8, 3)))
+    np.testing.assert_allclose(np.asarray(tv), 0.0, atol=1e-7)
+
+
+def test_device_flag_noop_for_tpu(monkeypatch):
+    from clip_codec_tpu.cli._common import apply_device_flag
+
+    # 'cpu' flips the backend (conftest already forced cpu, so it's a no-op
+    # here); any other value must leave config untouched and not raise.
+    apply_device_flag("cpu")
+    apply_device_flag("tpu")
+    apply_device_flag("cuda")  # reference default string: accepted, ignored
