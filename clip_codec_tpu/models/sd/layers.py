@@ -74,12 +74,27 @@ class CrossAttention(nn.Module):
         q = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
         v = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
-        q = q.reshape(B, N, h, d)
-        k = k.reshape(B, M, h, d)
-        v = v.reshape(B, M, h, d)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(d).astype(q.dtype)
-        attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, N, self.dim)
+        from ...ops.groupnorm import _USE_PALLAS
+
+        if context is None and _USE_PALLAS and N >= 1024 and N % 128 == 0:
+            # Self-attention over thousands of latent pixels: the Pallas flash
+            # kernel avoids materializing the (h, N, N) attention matrix
+            # (~0.5 GB/image at SD 512px). Cross-attention sees <=77 context
+            # tokens - not worth a kernel.
+            from ...ops.pallas_attention import flash_attention
+
+            qf = q.reshape(B, N, h, d).transpose(0, 2, 1, 3).reshape(B * h, N, d)
+            kf = k.reshape(B, M, h, d).transpose(0, 2, 1, 3).reshape(B * h, M, d)
+            vf = v.reshape(B, M, h, d).transpose(0, 2, 1, 3).reshape(B * h, M, d)
+            out = flash_attention(qf, kf, vf)
+            out = out.reshape(B, h, N, d).transpose(0, 2, 1, 3).reshape(B, N, self.dim)
+        else:
+            q = q.reshape(B, N, h, d)
+            k = k.reshape(B, M, h, d)
+            v = v.reshape(B, M, h, d)
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(d).astype(q.dtype)
+            attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, N, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
 
 

@@ -62,3 +62,65 @@ def test_custom_vjp_matches_jnp_grad(rng):
     g2 = jax.grad(loss_jnp, argnums=(0, 1, 2))(x, scale, bias)
     for a, b_ in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape", [(2, 64, 16), (1, 128, 40), (4, 96, 8)])
+def test_flash_attention_matches_reference(rng, shape):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from clip_codec_tpu.ops.pallas_attention import attention_reference, flash_attention
+
+    BH, N, D = shape
+    q = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    k = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    v = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(flash_attention(q, k, v))
+    want = np.asarray(attention_reference(q, k, v))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_flash_attention_extreme_logits(rng):
+    """Online softmax must stay stable with large logit ranges."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from clip_codec_tpu.ops.pallas_attention import attention_reference, flash_attention
+
+    q = jnp.asarray(rng.standard_normal((1, 64, 16)) * 30, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 64, 16)) * 30, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 64, 16)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(flash_attention(q, k, v, scale=1.0))
+    want = np.asarray(attention_reference(q, k, v, scale=1.0))
+    assert np.all(np.isfinite(got))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_sd_attention_flash_integration(rng):
+    """CrossAttention self-attention routes through the flash kernel when
+    Pallas is enabled and N>=1024, matching the XLA path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from clip_codec_tpu.models.sd.layers import CrossAttention
+    from clip_codec_tpu.ops import enable_pallas
+
+    attn = CrossAttention(16, heads=2)
+    x = jnp.asarray(rng.standard_normal((1, 1024, 16)), jnp.float32)
+    params = attn.init(jax.random.PRNGKey(0), x)
+    base = np.asarray(attn.apply(params, x))
+    enable_pallas(True)
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            flash = np.asarray(attn.apply(params, x))
+    finally:
+        enable_pallas(False)
+    np.testing.assert_allclose(flash, base, rtol=1e-4, atol=1e-5)
+    # cross-attention path (small context) is untouched by the switch
+    ctx = jnp.asarray(rng.standard_normal((1, 8, 16)), jnp.float32)
+    a = np.asarray(attn.apply(params, x, ctx))
+    enable_pallas(True)
+    try:
+        b = np.asarray(attn.apply(params, x, ctx))
+    finally:
+        enable_pallas(False)
+    np.testing.assert_allclose(a, b, rtol=1e-6)
