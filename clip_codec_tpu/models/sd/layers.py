@@ -196,8 +196,19 @@ class AttnBlockVAE(nn.Module):
         q = nn.Dense(self.ch, dtype=self.dtype, name="to_q")(h)
         k = nn.Dense(self.ch, dtype=self.dtype, name="to_k")(h)
         v = nn.Dense(self.ch, dtype=self.dtype, name="to_v")(h)
-        logits = jnp.einsum("bqd,bkd->bqk", q, k) / jnp.sqrt(self.ch).astype(q.dtype)
-        attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
-        out = jnp.einsum("bqk,bkd->bqd", attn, v)
+        N = H * W
+        from ...ops.groupnorm import _USE_PALLAS
+
+        if _USE_PALLAS and N >= 1024 and N % 128 == 0:
+            # 512px VAE encode/decode attends over 4096 pixels in ONE head:
+            # the materialized (N, N) matrix is the largest tensor in the
+            # whole VAE - flash attention keeps it out of HBM.
+            from ...ops.pallas_attention import flash_attention
+
+            out = flash_attention(q, k, v)
+        else:
+            logits = jnp.einsum("bqd,bkd->bqk", q, k) / jnp.sqrt(self.ch).astype(q.dtype)
+            attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+            out = jnp.einsum("bqk,bkd->bqd", attn, v)
         out = nn.Dense(self.ch, dtype=self.dtype, name="to_out")(out)
         return x + out.reshape(B, H, W, C)

@@ -124,3 +124,22 @@ def test_sd_attention_flash_integration(rng):
     finally:
         enable_pallas(False)
     np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_vae_attention_flash_integration(rng):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from clip_codec_tpu.models.sd.layers import AttnBlockVAE
+    from clip_codec_tpu.ops import enable_pallas
+
+    attn = AttnBlockVAE(8)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 8)), jnp.float32)  # N=1024
+    params = attn.init(jax.random.PRNGKey(0), x)
+    base = np.asarray(attn.apply(params, x))
+    enable_pallas(True)
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            flash = np.asarray(attn.apply(params, x))
+    finally:
+        enable_pallas(False)
+    np.testing.assert_allclose(flash, base, rtol=1e-4, atol=1e-5)
