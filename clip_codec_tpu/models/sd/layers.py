@@ -74,9 +74,9 @@ class CrossAttention(nn.Module):
         q = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
         v = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
-        from ...ops.groupnorm import _USE_PALLAS
+        from ...ops.groupnorm import flash_enabled
 
-        if context is None and _USE_PALLAS and N >= 1024 and N % 128 == 0:
+        if context is None and flash_enabled() and N >= 1024 and N % 128 == 0:
             # Self-attention over thousands of latent pixels: the Pallas flash
             # kernel avoids materializing the (h, N, N) attention matrix
             # (~0.5 GB/image at SD 512px). Cross-attention sees <=77 context
@@ -197,9 +197,9 @@ class AttnBlockVAE(nn.Module):
         k = nn.Dense(self.ch, dtype=self.dtype, name="to_k")(h)
         v = nn.Dense(self.ch, dtype=self.dtype, name="to_v")(h)
         N = H * W
-        from ...ops.groupnorm import _USE_PALLAS
+        from ...ops.groupnorm import flash_enabled
 
-        if _USE_PALLAS and N >= 1024 and N % 128 == 0:
+        if flash_enabled() and N >= 1024 and N % 128 == 0:
             # 512px VAE encode/decode attends over 4096 pixels in ONE head:
             # the materialized (N, N) matrix is the largest tensor in the
             # whole VAE - flash attention keeps it out of HBM.

@@ -5,7 +5,7 @@ hot elementwise chains get explicit fusion points so a Pallas implementation
 can be swapped in where profiling shows it beats XLA's automatic fusion.
 """
 
-from .groupnorm import group_norm, group_norm_silu, set_pallas
+from .groupnorm import flash_enabled, group_norm, group_norm_silu, set_flash_attention, set_pallas
 
 
 def enable_pallas(enabled: bool = True) -> None:
@@ -13,4 +13,4 @@ def enable_pallas(enabled: bool = True) -> None:
     set_pallas(enabled)
 
 
-__all__ = ["group_norm", "group_norm_silu", "enable_pallas", "set_pallas"]
+__all__ = ["group_norm", "group_norm_silu", "enable_pallas", "set_pallas", "set_flash_attention", "flash_enabled"]

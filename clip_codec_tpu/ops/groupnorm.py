@@ -19,11 +19,31 @@ import jax
 import jax.numpy as jnp
 
 _USE_PALLAS = False  # flipped by clip_codec_tpu.ops.enable_pallas()
+# Flash attention: None = auto (on for TPU backends, off elsewhere); the
+# kernel is a measured win at SD shapes (1.28-1.44x + O(N) memory), unlike
+# the GroupNorm fusion which only matches XLA.
+_USE_FLASH = None
 
 
 def set_pallas(enabled: bool) -> None:
     global _USE_PALLAS
     _USE_PALLAS = enabled
+
+
+def set_flash_attention(enabled) -> None:
+    """True/False forces; None restores auto (TPU: on, others: off)."""
+    global _USE_FLASH
+    _USE_FLASH = enabled
+
+
+def flash_enabled() -> bool:
+    if _USE_FLASH is not None:
+        return bool(_USE_FLASH)
+    if _USE_PALLAS:
+        return True
+    import jax
+
+    return jax.default_backend() == "tpu"
 
 
 def _gn_stats(x32: jax.Array, groups: int) -> Tuple[jax.Array, jax.Array]:

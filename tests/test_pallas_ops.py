@@ -102,27 +102,27 @@ def test_sd_attention_flash_integration(rng):
     from jax.experimental.pallas import tpu as pltpu
 
     from clip_codec_tpu.models.sd.layers import CrossAttention
-    from clip_codec_tpu.ops import enable_pallas
+    from clip_codec_tpu.ops import set_flash_attention
 
     attn = CrossAttention(16, heads=2)
     x = jnp.asarray(rng.standard_normal((1, 1024, 16)), jnp.float32)
     params = attn.init(jax.random.PRNGKey(0), x)
     base = np.asarray(attn.apply(params, x))
-    enable_pallas(True)
+    set_flash_attention(True)
     try:
         with pltpu.force_tpu_interpret_mode():
             flash = np.asarray(attn.apply(params, x))
     finally:
-        enable_pallas(False)
+        set_flash_attention(None)
     np.testing.assert_allclose(flash, base, rtol=1e-4, atol=1e-5)
     # cross-attention path (small context) is untouched by the switch
     ctx = jnp.asarray(rng.standard_normal((1, 8, 16)), jnp.float32)
     a = np.asarray(attn.apply(params, x, ctx))
-    enable_pallas(True)
+    set_flash_attention(True)
     try:
         b = np.asarray(attn.apply(params, x, ctx))
     finally:
-        enable_pallas(False)
+        set_flash_attention(None)
     np.testing.assert_allclose(a, b, rtol=1e-6)
 
 
@@ -130,16 +130,16 @@ def test_vae_attention_flash_integration(rng):
     from jax.experimental.pallas import tpu as pltpu
 
     from clip_codec_tpu.models.sd.layers import AttnBlockVAE
-    from clip_codec_tpu.ops import enable_pallas
+    from clip_codec_tpu.ops import set_flash_attention
 
     attn = AttnBlockVAE(8)
     x = jnp.asarray(rng.standard_normal((1, 32, 32, 8)), jnp.float32)  # N=1024
     params = attn.init(jax.random.PRNGKey(0), x)
     base = np.asarray(attn.apply(params, x))
-    enable_pallas(True)
+    set_flash_attention(True)
     try:
         with pltpu.force_tpu_interpret_mode():
             flash = np.asarray(attn.apply(params, x))
     finally:
-        enable_pallas(False)
+        set_flash_attention(None)
     np.testing.assert_allclose(flash, base, rtol=1e-4, atol=1e-5)
