@@ -45,6 +45,8 @@ def main() -> None:
 
     encoder = DinoEncoder(weights_path=args.weights)
     z, kept = encoder.encode_images([str(p) for p in img_paths])
+    if z.size == 0:
+        raise SystemExit("No images encoded.")
     scale, zero = fit_affine(z, eps=1e-6)  # DINO-path eps (encode_images_dino.py:48)
     q = np.asarray(quantize(z, scale, zero))
     write_store(args.out_dir, z, kept, np.asarray(scale), np.asarray(zero), q, dim_dtype="int64")

@@ -55,8 +55,11 @@ def main() -> None:
         lat = vae.apply({"params": vae_params}, moments, rng, method=AutoencoderKL.sample_latents)
         return lat.astype(jnp.float32) * SD_SCALING_FACTOR
 
+    from ..io.store import dedupe_stems
+
     store = args.store_dir
     meta = json.loads((store / "manifest.json").read_text())
+    stems = dedupe_stems([r["image"] for r in meta])
     out_dir = store / "latents"
     out_dir.mkdir(parents=True, exist_ok=True)
     rng = jax.random.PRNGKey(args.seed)
@@ -69,8 +72,8 @@ def main() -> None:
             x = np.concatenate([x, np.zeros((B - len(recs),) + x.shape[1:], x.dtype)])
         rng, srng = jax.random.split(rng)
         lats = np.asarray(encode(jnp.asarray(x), srng))[: len(recs)]
-        for r, lat in zip(recs, lats):
-            lat_path = out_dir / (Path(r["image"]).stem + ".npz")
+        for j, (r, lat) in enumerate(zip(recs, lats)):
+            lat_path = out_dir / (stems[s + j] + ".npz")
             # fp16 CHW, key 'lat' — byte-format parity with the reference
             np.savez_compressed(lat_path, lat=lat.transpose(2, 0, 1).astype(np.float16))
             r["latent"] = str(lat_path)

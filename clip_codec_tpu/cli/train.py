@@ -41,15 +41,17 @@ def main() -> None:
 
     from ..train import DiffusionTrainConfig, train_diffusion
 
-    clip_embed_fn = None
+    clip_embed_fn, clip_params = None, None
     if args.clip_weights:
         import jax.numpy as jnp
 
         from ..encoders import ClipEncoder
-        from ..encoders.clip import CLIPModel, embed_m11_images
+        from ..encoders.clip import embed_m11_images
 
         enc = ClipEncoder(weights_path=args.clip_weights, dtype=jnp.bfloat16)
-        clip_embed_fn = lambda imgs: embed_m11_images(enc.model, enc.params, imgs)
+        # params threaded as a step argument, never a closure constant
+        clip_embed_fn = lambda cp, imgs: embed_m11_images(enc.model, cp, imgs)
+        clip_params = enc.params
 
     cfg = DiffusionTrainConfig(
         out_size=args.out_size, epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
@@ -59,7 +61,8 @@ def main() -> None:
         bf16=not args.no_bf16, seed=args.seed, log_every=args.log_every,
     )
     ckpt = train_diffusion(args.store_dir, config=cfg, save_dir=args.save_dir,
-                           clip_embed_fn=clip_embed_fn, resume=args.resume)
+                           clip_embed_fn=clip_embed_fn, clip_params=clip_params,
+                           resume=args.resume)
     print(f"Final checkpoint: {ckpt}")
 
 

@@ -79,7 +79,10 @@ class ClipCodec:
         the store when present)."""
         store_dir = Path(store_dir)
         meta = np.load(store_dir / "codec_meta.npz")
+        explicit = weights is not None
         weights = Path(weights) if weights else store_dir / "diffusion_unet_final.msgpack"
+        if explicit and not weights.exists():
+            raise FileNotFoundError(f"decoder checkpoint not found: {weights}")
         params, mc = None, None
         if weights.exists():
             mc = ModelConfig.find_for_checkpoint(weights)

@@ -12,6 +12,7 @@ point ``CLIP_BPE_PATH`` or the ``bpe_path`` argument at the standard
 from __future__ import annotations
 
 import gzip
+import html
 import os
 import re
 
@@ -108,6 +109,11 @@ class CLIPTokenizer:
         return out
 
     def encode(self, text: str) -> List[int]:
+        # open_clip's basic_clean: ftfy.fix_text + double html.unescape.
+        # ftfy is not a dependency (mojibake repair is skipped — documented
+        # divergence); the HTML entity unescaping matters for scraped
+        # captions ("black &amp; white") and is replicated exactly.
+        text = html.unescape(html.unescape(text))
         text = re.sub(r"\s+", " ", text.strip()).lower()
         ids: List[int] = []
         for tok in _WORD_RE.findall(text):

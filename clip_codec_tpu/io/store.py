@@ -81,6 +81,24 @@ class Store:
         return z
 
 
+def dedupe_stems(paths: List[str]) -> List[str]:
+    """Collision-safe per-path file stems.
+
+    The reference names artifacts by bare image stem (``cli/encode_images.py:81``,
+    ``cli/precompute_latents.py:28``), so ``a/img.png`` and ``b/img.png``
+    silently clobber each other. Unique stems keep the reference naming;
+    duplicates get a deterministic ``__{k}`` suffix.
+    """
+    seen: Dict[str, int] = {}
+    stems: List[str] = []
+    for p in paths:
+        stem = Path(p).stem
+        k = seen.get(stem, 0)
+        seen[stem] = k + 1
+        stems.append(stem if k == 0 else f"{stem}__{k}")
+    return stems
+
+
 def write_store(
     out_dir: PathLike,
     feats: np.ndarray,
@@ -108,17 +126,7 @@ def write_store(
     )
     manifest: List[Dict[str, str]] = []
     q_mat = np.ascontiguousarray(np.asarray(quantized, dtype=np.uint8))
-    # Stem-collision guard: the reference names bitstreams by image stem only
-    # (cli/encode_images.py:81), so a/img.png and b/img.png silently clobber
-    # each other's .clp. Keep the reference naming for unique stems; suffix
-    # duplicates deterministically.
-    seen: Dict[str, int] = {}
-    stems: List[str] = []
-    for p in image_paths:
-        stem = Path(p).stem
-        k = seen.get(stem, 0)
-        seen[stem] = k + 1
-        stems.append(stem if k == 0 else f"{stem}__{k}")
+    stems = dedupe_stems(image_paths)
     from .native import compress_frames
 
     # Native and python paths are guaranteed byte-identical (the native lib

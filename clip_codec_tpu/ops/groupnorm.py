@@ -37,10 +37,9 @@ def set_flash_attention(enabled) -> None:
 
 
 def flash_enabled() -> bool:
+    """Truly independent of the GroupNorm switch: auto = TPU-only."""
     if _USE_FLASH is not None:
         return bool(_USE_FLASH)
-    if _USE_PALLAS:
-        return True
     import jax
 
     return jax.default_backend() == "tpu"

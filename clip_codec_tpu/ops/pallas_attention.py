@@ -20,6 +20,7 @@ via ``ops.enable_pallas()`` for self-attention at sampling time.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -70,8 +71,17 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale: f
         o_ref[0] = (acc_ref[...] / l_ref[:, 0][:, None]).astype(o_ref.dtype)
 
 
-def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: float | None = None) -> jax.Array:
-    """q, k, v: (BH, N, D) -> (BH, N, D) softmax(q k^T * scale) v, no mask."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: Optional[float] = None) -> jax.Array:
+    """q, k, v: (BH, N, D) -> (BH, N, D) softmax(q k^T * scale) v, no mask.
+
+    Differentiable: the backward pass is the VJP of the reference math (it
+    materializes the attention matrix — fine for training, where activation
+    memory dominates anyway; the forward stays flash)."""
+    return _flash_forward(q, k, v, scale)
+
+
+def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array, scale: Optional[float] = None) -> jax.Array:
     BH, N, D = q.shape
     Nk = k.shape[1]
     if scale is None:
@@ -106,3 +116,16 @@ def attention_reference(q: jax.Array, k: jax.Array, v: jax.Array, scale: float |
     logits = jnp.einsum("bqd,bkd->bqk", q.astype(jnp.float32), k.astype(jnp.float32)) * scale
     p = jax.nn.softmax(logits, axis=-1)
     return jnp.einsum("bqk,bkd->bqd", p, v.astype(jnp.float32)).astype(q.dtype)
+
+
+def _flash_fwd(q, k, v, scale):
+    return _flash_forward(q, k, v, scale), (q, k, v)
+
+
+def _flash_bwd(scale, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda qq, kk, vv: attention_reference(qq, kk, vv, scale), q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)

@@ -76,10 +76,15 @@ def make_train_step(
     cfg: DiffusionTrainConfig,
     clip_embed_fn: Optional[Callable] = None,
 ):
-    """Build the jitted train step: (params, opt_state, batch, rng, clip_on) ->
-    (params, opt_state, metrics)."""
+    """Build the jitted train step: (params, opt_state, batch, rng, clip_on,
+    clip_params) -> (params, opt_state, metrics).
 
-    def loss_fn(params, x0, z, weight, t, noise, clip_on):
+    ``clip_embed_fn(clip_params, images)`` receives the frozen encoder params
+    as a jit ARGUMENT (never a closure constant: the ~600MB ViT would be
+    serialized into the program body, see CLAUDE.md on remote-compile limits).
+    """
+
+    def loss_fn(params, x0, z, weight, t, noise, clip_on, clip_params):
         # clip_on is STATIC (python bool) so the CLIP tower is only traced
         # into the even-epoch specialization — the reference skips the term
         # entirely on odd epochs (diffusion_train.py:130) and so do we.
@@ -92,17 +97,20 @@ def make_train_step(
         if cfg.tv_w > 0:
             per = per + cfg.tv_w * total_variation(x0_pred)
         if clip_on and cfg.clip_w > 0 and clip_embed_fn is not None:
-            align = clip_alignment(x0_pred, z, clip_embed_fn, stop_grad=not cfg.clip_align_grad)
+            align = clip_alignment(
+                x0_pred, z, lambda imgs: clip_embed_fn(clip_params, imgs),
+                stop_grad=not cfg.clip_align_grad,
+            )
             per = per + cfg.clip_w * align
         return weighted_mean(per, weight)
 
     @partial(jax.jit, donate_argnums=(0, 1), static_argnames=("clip_on",))
-    def train_step(params, opt_state, x0, z, weight, rng, clip_on):
+    def train_step(params, opt_state, x0, z, weight, rng, clip_on, clip_params=None):
         t_rng, n_rng = jax.random.split(rng)
         b = x0.shape[0]
         t = jax.random.randint(t_rng, (b,), 0, sched.timesteps, dtype=jnp.int32)
         noise = jax.random.normal(n_rng, x0.shape, dtype=jnp.float32)
-        loss, grads = jax.value_and_grad(loss_fn)(params, x0, z, weight, t, noise, clip_on)
+        loss, grads = jax.value_and_grad(loss_fn)(params, x0, z, weight, t, noise, clip_on, clip_params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -125,6 +133,7 @@ def train_diffusion(
     clip_embed_fn: Optional[Callable] = None,
     config: Optional[DiffusionTrainConfig] = None,
     resume: bool = False,
+    clip_params=None,
 ) -> Path:
     """Train the diffusion decoder on all samples from the store.
 
@@ -193,7 +202,7 @@ def train_diffusion(
             params, opt_state, loss = step_fn(
                 params, opt_state,
                 jnp.asarray(batch.x0), jnp.asarray(batch.z), jnp.asarray(batch.weight),
-                step_rng, clip_on,
+                step_rng, clip_on, clip_params,
             )
             losses.append(loss)
             weights.append(batch.weight.sum())
