@@ -193,3 +193,30 @@ def test_resize_matches_torch_interpolate(rng):
         jnp.asarray(x.transpose(0, 2, 3, 1)), (2, 64, 64, 3), method="bilinear", antialias=False
     )).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(ours_up, ref_up, rtol=1e-5, atol=1e-5)
+
+
+def test_load_clip_params_autodetect(tiny_hf, tmp_path):
+    """load_clip_params handles torch .bin, safetensors, and OpenAI naming."""
+    torch = pytest.importorskip("torch")
+    import jax
+
+    from clip_codec_tpu.weights.convert_clip import convert_clip_hf, load_clip_params
+
+    want = convert_clip_hf(tiny_hf.state_dict(), 2, 2)
+
+    p_bin = tmp_path / "clip.bin"
+    torch.save(tiny_hf.state_dict(), p_bin)
+    got = load_clip_params(str(p_bin), 2, 2)
+    for a, b in zip(jax.tree_util.tree_leaves(want), jax.tree_util.tree_leaves(got)):
+        np.testing.assert_array_equal(a, b)
+
+    try:
+        from safetensors.numpy import save_file
+    except ImportError:
+        pytest.skip("safetensors unavailable")
+    sd_np = {k: v.detach().numpy() for k, v in tiny_hf.state_dict().items()}
+    p_st = tmp_path / "clip.safetensors"
+    save_file(sd_np, str(p_st))
+    got2 = load_clip_params(str(p_st), 2, 2)
+    for a, b in zip(jax.tree_util.tree_leaves(want), jax.tree_util.tree_leaves(got2)):
+        np.testing.assert_array_equal(a, b)
