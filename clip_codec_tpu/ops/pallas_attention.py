@@ -37,7 +37,7 @@ def _pick_tile(n: int, target: int = 512) -> int:
     return n
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale: float):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref, *, scale: float):
     kk = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -69,19 +69,22 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale: f
     @pl.when(kk == nk - 1)
     def _flush():
         o_ref[0] = (acc_ref[...] / l_ref[:, 0][:, None]).astype(o_ref.dtype)
+        lse_ref[0, :, 0] = m_ref[:, 0] + jnp.log(l_ref[:, 0])
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: Optional[float] = None) -> jax.Array:
     """q, k, v: (BH, N, D) -> (BH, N, D) softmax(q k^T * scale) v, no mask.
 
-    Differentiable: the backward pass is the VJP of the reference math (it
-    materializes the attention matrix — fine for training, where activation
-    memory dominates anyway; the forward stays flash)."""
+    Differentiable end-to-end in flash form: the backward recomputes
+    probability tiles from the saved logsumexp (never materializing the
+    (N, N) matrix) in two Pallas kernels — dq accumulated over k tiles,
+    dk/dv accumulated over q tiles."""
     return _flash_forward(q, k, v, scale)
 
 
-def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array, scale: Optional[float] = None) -> jax.Array:
+def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array, scale: Optional[float] = None,
+                   with_lse: bool = False):
     BH, N, D = q.shape
     Nk = k.shape[1]
     if scale is None:
@@ -90,22 +93,29 @@ def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array, scale: Optional[flo
     tk = _pick_tile(Nk)
     grid = (BH, N // tq, Nk // tk)
     kern = functools.partial(_flash_kernel, scale=float(scale))
-    return pl.pallas_call(
+    out, lse = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((BH, N, 1), jnp.float32),
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, tq, D), lambda b, iq, ik: (b, iq, 0)),
             pl.BlockSpec((1, tk, D), lambda b, iq, ik: (b, ik, 0)),
             pl.BlockSpec((1, tk, D), lambda b, iq, ik: (b, ik, 0)),
         ],
-        out_specs=pl.BlockSpec((1, tq, D), lambda b, iq, ik: (b, iq, 0)),
+        out_specs=(
+            pl.BlockSpec((1, tq, D), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, tq, 1), lambda b, iq, ik: (b, iq, 0)),
+        ),
         scratch_shapes=[
             pltpu.VMEM((tq, 1), jnp.float32),  # running max
             pltpu.VMEM((tq, 1), jnp.float32),  # running sum
             pltpu.VMEM((tq, D), jnp.float32),  # output accumulator
         ],
     )(q, k, v)
+    return (out, lse[..., 0]) if with_lse else out
 
 
 def attention_reference(q: jax.Array, k: jax.Array, v: jax.Array, scale: float | None = None) -> jax.Array:
@@ -118,14 +128,134 @@ def attention_reference(q: jax.Array, k: jax.Array, v: jax.Array, scale: float |
     return jnp.einsum("bqk,bkd->bqd", p, v.astype(jnp.float32)).astype(q.dtype)
 
 
+# ------------------------------------------------------------- flash backward
+#
+# With row logsumexp L_i saved from the forward:
+#   p_ij = exp(scale q_i.k_j - L_i)
+#   D_i  = rowsum(dO_i * O_i)
+#   dv_j = sum_i p_ij dO_i
+#   ds   = p * (dO v^T - D_i)
+#   dq_i = scale * sum_j ds_ij k_j      (accumulated over k tiles)
+#   dk_j = scale * sum_i ds_ij q_i      (accumulated over q tiles)
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref, dq_ref, acc_ref, *, scale: float):
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _reset():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, :, 0]
+    dvec = dvec_ref[0, :, 0]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
+    p = jnp.exp(s - lse[:, None])
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp - dvec[:, None])
+    acc_ref[...] += jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(ik == nk - 1)
+    def _flush():
+        dq_ref[0] = (acc_ref[...] * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dvec_ref, dk_ref, dv_ref,
+                    dk_acc, dv_acc, *, scale: float):
+    iq = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(iq == 0)
+    def _reset():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, :, 0]
+    dvec = dvec_ref[0, :, 0]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
+    p = jnp.exp(s - lse[:, None])  # (Tq, Tk)
+    dv_acc[...] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp - dvec[:, None])  # (Tq, Tk)
+    dk_acc[...] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(iq == nq - 1)
+    def _flush():
+        dk_ref[0] = (dk_acc[...] * scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, out, lse, g, scale):
+    BH, N, D = q.shape
+    Nk = k.shape[1]
+    tq = _pick_tile(N, 256)
+    tk = _pick_tile(Nk, 256)
+    dvec = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True)  # (BH, N, 1)
+    lse3 = lse[..., None]
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=float(scale)),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=(BH, N // tq, Nk // tk),
+        in_specs=[
+            pl.BlockSpec((1, tq, D), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, tk, D), lambda b, iq, ik: (b, ik, 0)),
+            pl.BlockSpec((1, tk, D), lambda b, iq, ik: (b, ik, 0)),
+            pl.BlockSpec((1, tq, D), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, tq, 1), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, tq, 1), lambda b, iq, ik: (b, iq, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tq, D), lambda b, iq, ik: (b, iq, 0)),
+        scratch_shapes=[pltpu.VMEM((tq, D), jnp.float32)],
+    )(q, k, v, g, lse3, dvec)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=float(scale)),
+        out_shape=(
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
+        grid=(BH, Nk // tk, N // tq),
+        in_specs=[
+            pl.BlockSpec((1, tk, D), lambda b, ik, iq: (b, ik, 0)),
+            pl.BlockSpec((1, tk, D), lambda b, ik, iq: (b, ik, 0)),
+            pl.BlockSpec((1, tq, D), lambda b, ik, iq: (b, iq, 0)),
+            pl.BlockSpec((1, tq, D), lambda b, ik, iq: (b, iq, 0)),
+            pl.BlockSpec((1, tq, 1), lambda b, ik, iq: (b, iq, 0)),
+            pl.BlockSpec((1, tq, 1), lambda b, ik, iq: (b, iq, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tk, D), lambda b, ik, iq: (b, ik, 0)),
+            pl.BlockSpec((1, tk, D), lambda b, ik, iq: (b, ik, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tk, D), jnp.float32),
+            pltpu.VMEM((tk, D), jnp.float32),
+        ],
+    )(k, v, q, g, lse3, dvec)
+    return dq, dk, dv
+
+
 def _flash_fwd(q, k, v, scale):
-    return _flash_forward(q, k, v, scale), (q, k, v)
+    out, lse = _flash_forward(q, k, v, scale, with_lse=True)
+    return out, (q, k, v, out, lse)
 
 
 def _flash_bwd(scale, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(lambda qq, kk, vv: attention_reference(qq, kk, vv, scale), q, k, v)
-    return vjp(g)
+    q, k, v, out, lse = res
+    if scale is None:
+        scale = 1.0 / float(q.shape[-1]) ** 0.5
+    return _flash_backward(q, k, v, out, lse, g, scale)
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)

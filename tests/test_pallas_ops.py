@@ -157,13 +157,13 @@ def test_flash_attention_grad(rng):
     v = jnp.asarray(rng.standard_normal((1, 64, 16)), jnp.float32)
 
     def loss_flash(q, k, v):
-        with pltpu.force_tpu_interpret_mode():
-            return jnp.sum(flash_attention(q, k, v) ** 2)
+        return jnp.sum(flash_attention(q, k, v) ** 2)
 
     def loss_ref(q, k, v):
         return jnp.sum(attention_reference(q, k, v) ** 2)
 
-    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():  # fwd AND bwd kernels interpreted
+        g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
