@@ -1,7 +1,7 @@
-"""Dev benchmark: Pallas fused GroupNorm+SiLU vs the XLA path on real TPU.
+"""Dev benchmarks: Pallas kernels vs the XLA paths on real TPU.
 
-Run manually (not by the driver): ``python bench_ops.py``. Decides whether
-ops.enable_pallas() is worth switching on for the sampling pipeline.
+Run manually (not by the driver): ``python bench_ops.py``. Covers the fused
+GroupNorm+SiLU kernel and flash attention (forward and fwd+bwd) at SD shapes.
 """
 
 import time
@@ -15,11 +15,11 @@ from clip_codec_tpu.ops.pallas_groupnorm import group_norm_silu_pallas
 
 
 def timeit(fn, *args, reps=20):
-    fn(*args).block_until_ready()  # compile
+    np.asarray(fn(*args))  # compile; asarray = honest completion barrier
     t0 = time.time()
     for _ in range(reps):
         out = fn(*args)
-    out.block_until_ready()
+    np.asarray(out)
     return (time.time() - t0) / reps
 
 
@@ -54,5 +54,40 @@ def main():
             )
 
 
+def attention():
+    from clip_codec_tpu.ops.pallas_attention import attention_reference, flash_attention
+
+    rng = np.random.default_rng(0)
+    BH, N, D = 16, 4096, 40  # SD-1.5 512px self-attention
+    for dt in (jnp.bfloat16, jnp.float32):
+        q = jnp.asarray(rng.standard_normal((BH, N, D)), dt)
+        k = jnp.asarray(rng.standard_normal((BH, N, D)), dt)
+        v = jnp.asarray(rng.standard_normal((BH, N, D)), dt)
+        ref = jax.jit(attention_reference)
+        fla = jax.jit(flash_attention)
+        err = np.abs(np.asarray(ref(q, k, v), np.float32) - np.asarray(fla(q, k, v), np.float32)).max()
+        t_ref, t_fla = timeit(ref, q, k, v, reps=10) * 1e3, timeit(fla, q, k, v, reps=10) * 1e3
+        print(f"attn fwd {dt.__name__ if hasattr(dt,'__name__') else dt}: xla {t_ref:.2f}ms  flash {t_fla:.2f}ms"
+              f"  speedup {t_ref/t_fla:.2f}x  maxerr {err:.2e}")
+
+    q = jnp.asarray(rng.standard_normal((BH, N, D)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((BH, N, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((BH, N, D)), jnp.bfloat16)
+    gf = jax.jit(jax.grad(lambda q, k, v: jnp.sum(flash_attention(q, k, v).astype(jnp.float32) ** 2), argnums=(0, 1, 2)))
+    gr = jax.jit(jax.grad(lambda q, k, v: jnp.sum(attention_reference(q, k, v).astype(jnp.float32) ** 2), argnums=(0, 1, 2)))
+
+    def time_grads(f):
+        [np.asarray(x) for x in f(q, k, v)]
+        t0 = time.time()
+        for _ in range(5):
+            o = f(q, k, v)
+        [np.asarray(x) for x in o]
+        return (time.time() - t0) / 5 * 1e3
+
+    tf, tr = time_grads(gf), time_grads(gr)
+    print(f"attn fwd+bwd bf16: xla {tr:.1f}ms  flash {tf:.1f}ms  speedup {tr/tf:.2f}x (flash: O(N) memory)")
+
+
 if __name__ == "__main__":
     main()
+    attention()
