@@ -47,13 +47,14 @@ def main() -> None:
     x = jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
     params = jax.jit(net.init)(jax.random.PRNGKey(0), x, z[:1], jnp.zeros((1,), jnp.int32))
 
-    def model_fn(x, zz, t):
-        return net.apply(params, x, zz, t)
+    def model_fn(p, x, zz, t):
+        return net.apply(p, x, zz, t)
 
     shape = (BATCH, SIZE, SIZE, 3)
+    sched = NoiseSchedule.create(1000, "cosine")
 
     def run(key):
-        return ddim_sample(model_fn, NoiseSchedule.create(1000, "cosine"), z, shape, steps=STEPS, rng=key)
+        return ddim_sample(model_fn, sched, z, shape, steps=STEPS, rng=key, model_params=params)
 
     # Warm-up compile. NOTE: block_until_ready is not trustworthy over the
     # axon remote tunnel (returns early); np.asarray forces real completion.

@@ -60,7 +60,8 @@ def main() -> None:
     sched = (NoiseSchedule.create(mc.timesteps, mc.schedule) if mc
              else NoiseSchedule.create(1000, "cosine"))
     sampler = DDIMSampler(sched, eta=args.eta)
-    model_fn = lambda xt, zz, t: net.apply({"params": params}, xt, zz, t)
+    model_fn = lambda p, xt, zz, t: net.apply(p, xt, zz, t)
+    model_params = {"params": params}
 
     lpips_model = _default_lpips()
     clip_enc = _default_clip_encoder()
@@ -76,7 +77,8 @@ def main() -> None:
         z = np.stack([store.decode_vector(i) for i in idx])
         zb = pad_rows(z, B)
         rng, srng = jax.random.split(rng)
-        x = sampler.sample(model_fn, jnp.asarray(zb), (B, args.size, args.size, 3), steps=args.steps, rng=srng)
+        x = sampler.sample(model_fn, jnp.asarray(zb), (B, args.size, args.size, 3),
+                           steps=args.steps, rng=srng, model_params=model_params)
         recon = np.asarray(jnp.clip(x, -1, 1))[: len(idx)]
         orig = np.stack([load_image_m11(store.manifest[i]["image"], args.size) for i in idx])
         ps = np.asarray(psnr_batch(jnp.asarray(orig), jnp.asarray(recon)))

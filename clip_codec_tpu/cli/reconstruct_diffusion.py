@@ -55,8 +55,9 @@ def main() -> None:
              else NoiseSchedule.create(1000, "cosine"))
     sampler = DDIMSampler(sched, eta=args.eta)
     x = sampler.sample(
-        lambda xt, zz, t: net.apply({"params": params}, xt, zz, t),
+        lambda p, xt, zz, t: net.apply(p, xt, zz, t),
         z, (1, args.size, args.size, 3), steps=args.steps, rng=jax.random.PRNGKey(args.seed),
+        model_params={"params": params},
     )
     to_pil(np.asarray(jnp.clip(x[0], -1, 1))).save(args.out)
     print(f"Saved to {args.out}")

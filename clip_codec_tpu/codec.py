@@ -53,6 +53,7 @@ class ClipCodec:
         self.net = None
         self.sched = None
         self._model_fn = None
+        self._model_params = None
         if unet_params is not None and model_config is not None:
             self.net = CLIPCondUNet(
                 z_dim=model_config.z_dim, base=model_config.base,
@@ -62,10 +63,11 @@ class ClipCodec:
             self.sched = NoiseSchedule.create(model_config.timesteps, model_config.schedule)
             # One stable callable for the sampler: ddim_sample jits with
             # model_fn static, so a fresh lambda per call would retrace and
-            # recompile the whole DDIM program on every request.
+            # recompile the whole DDIM program on every request. Params flow
+            # through as a traced argument, not a closure constant.
             net = self.net
-            params = {"params": unet_params}
-            self._model_fn = lambda x, zz, t: net.apply(params, x, zz, t)
+            self._model_fn = lambda p, x, zz, t: net.apply(p, x, zz, t)
+            self._model_params = {"params": unet_params}
 
     @classmethod
     def load(
@@ -149,6 +151,7 @@ class ClipCodec:
         z = self.decode_embeddings(blobs)
         sampler = DDIMSampler(self.sched, eta=eta)
         model_fn = self._model_fn
+        model_params = self._model_params
         outs = []
         n = z.shape[0]
         from .utils.batching import pad_rows
@@ -158,6 +161,7 @@ class ClipCodec:
             k = zb.shape[0]
             zb = pad_rows(zb, batch_size)
             self._rng, srng = jax.random.split(self._rng)
-            x = sampler.sample(model_fn, jnp.asarray(zb), (batch_size, size, size, 3), steps=steps, rng=srng)
+            x = sampler.sample(model_fn, jnp.asarray(zb), (batch_size, size, size, 3),
+                               steps=steps, rng=srng, model_params=model_params)
             outs.append(np.asarray(jnp.clip(x, -1, 1))[:k])
         return np.concatenate(outs)

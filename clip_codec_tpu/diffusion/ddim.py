@@ -71,11 +71,17 @@ def ddim_sample(
     eta: float = 0.0,
     rng: Optional[jax.Array] = None,
     x_T: Optional[jax.Array] = None,
+    model_params=None,
 ) -> jax.Array:
     """Sample images of ``shape`` = (B, H, W, C) conditioned on ``z`` (B, D).
 
     ``rng`` seeds both the initial noise (when ``x_T`` is None) and, for
     ``eta > 0``, the per-step stochastic noise injection.
+
+    ``model_params``: when given, ``model_fn(model_params, x, z, t)`` is
+    called with the params as a traced jit ARGUMENT instead of a closure
+    constant — required for large models over remote-compile transports
+    (closure constants are serialized into the program body; ~600MB fails).
     """
     if rng is None:
         rng = jax.random.PRNGKey(0)
@@ -88,7 +94,10 @@ def ddim_sample(
         x, rng = carry
         t, abt, ab_s = per_step
         t_b = jnp.full((shape[0],), t, dtype=jnp.int32)
-        eps = model_fn(x, z, t_b).astype(jnp.float32)
+        if model_params is None:
+            eps = model_fn(x, z, t_b).astype(jnp.float32)
+        else:
+            eps = model_fn(model_params, x, z, t_b).astype(jnp.float32)
         x0_pred = (x - jnp.sqrt(1.0 - abt) * eps) / jnp.sqrt(abt)
         x0_pred = jnp.clip(x0_pred, -1.0, 1.0)
         sigma = eta * jnp.sqrt((1.0 - ab_s) / (1.0 - abt) * (1.0 - abt / ab_s))
@@ -120,6 +129,7 @@ class DDIMSampler:
         cfg_scale: float = 1.0,
         x_T: Optional[jax.Array] = None,
         rng: Optional[jax.Array] = None,
+        model_params=None,
     ) -> jax.Array:
         del cfg_scale  # accepted and ignored, as in the reference (ddim.py:22)
-        return ddim_sample(model_fn, self.sched, z, tuple(shape), steps, self.eta, rng, x_T)
+        return ddim_sample(model_fn, self.sched, z, tuple(shape), steps, self.eta, rng, x_T, model_params)
