@@ -29,3 +29,13 @@ L8        ``cli/``                       :mod:`clip_codec_tpu.cli`
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy convenience exports (kept lazy — importing the full stack pulls
+    in flax/optax, which CLI --help paths should not pay for)."""
+    if name == "ClipCodec":
+        from .codec import ClipCodec
+
+        return ClipCodec
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -70,3 +70,13 @@ def test_epoch_prefetch_equivalence(tmp_path, rng):
         np.testing.assert_array_equal(ba.x0, bb.x0)
         np.testing.assert_array_equal(ba.z, bb.z)
         np.testing.assert_array_equal(ba.weight, bb.weight)
+
+
+def test_lazy_top_level_export():
+    import clip_codec_tpu
+
+    assert clip_codec_tpu.ClipCodec.__name__ == "ClipCodec"
+    import pytest as _pytest
+
+    with _pytest.raises(AttributeError):
+        clip_codec_tpu.NotAThing
