@@ -67,9 +67,9 @@ def main() -> None:
     B = args.batch_size
     for s in range(0, len(meta), B):
         recs = meta[s : s + B]
-        x = np.stack([load_image_m11(r["image"], args.size) for r in recs])
-        if len(recs) < B:
-            x = np.concatenate([x, np.zeros((B - len(recs),) + x.shape[1:], x.dtype)])
+        from ..utils.batching import pad_rows
+
+        x = pad_rows(np.stack([load_image_m11(r["image"], args.size) for r in recs]), B)
         rng, srng = jax.random.split(rng)
         lats = np.asarray(encode(jnp.asarray(x), srng))[: len(recs)]
         for j, (r, lat) in enumerate(zip(recs, lats)):

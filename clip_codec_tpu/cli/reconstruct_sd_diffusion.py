@@ -147,6 +147,9 @@ def main() -> None:
         )
 
     arr = ((np.asarray(jnp.clip(img[0], -1, 1)) + 1.0) * 127.5).astype(np.uint8)
+    # Reference quirk kept for behavior parity: the default output name is
+    # detected BY VALUE (cli/reconstruct_sd_diffusion.py:191), so an explicit
+    # "--out recon.png" also gets the derived <stem>-<steps>-... name.
     if args.out == Path("recon.png"):
         stem = args.bitstream.stem
         out_path = args.bitstream.with_name(

@@ -93,7 +93,10 @@ class ClipCodec:
                 # architecture from the parameter tree itself.
                 from .utils.checkpoint import load_params
 
-                probe = load_params(weights) if weights.suffix == ".msgpack" else None
+                if weights.suffix == ".msgpack":
+                    probe = load_params(weights)
+                else:  # torch .pt: convert with the default layout, then infer
+                    probe = load_unet_checkpoint(weights)
                 if probe is not None:
                     mc = ModelConfig.infer_from_params(probe)
                     params = probe
@@ -121,6 +124,8 @@ class ClipCodec:
 
         from .utils.batching import pad_rows
 
+        if len(images) == 0:
+            return []
         feats = []
         for s in range(0, len(images), batch_size):
             chunk = [preprocess_pil(im, self.encoder.cfg.image_size) for im in images[s : s + batch_size]]
@@ -135,6 +140,8 @@ class ClipCodec:
 
     def decode_embeddings(self, blobs: Sequence[bytes]) -> np.ndarray:
         """.clp frames -> L2-normalized embeddings (no image synthesis)."""
+        if len(blobs) == 0:
+            return np.zeros((0, self.dim), np.float32)
         q = np.stack([decompress_frame(b) for b in blobs])
         return np.asarray(dequantize_l2norm(jnp.asarray(q), jnp.asarray(self.scale), jnp.asarray(self.zero)))
 
@@ -149,6 +156,8 @@ class ClipCodec:
                 "pass weights= to ClipCodec.load"
             )
         z = self.decode_embeddings(blobs)
+        if z.shape[0] == 0:
+            return np.zeros((0, size, size, 3), np.float32)
         sampler = DDIMSampler(self.sched, eta=eta)
         model_fn = self._model_fn
         model_params = self._model_params

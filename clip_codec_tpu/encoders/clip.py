@@ -140,13 +140,16 @@ def preprocess_pil(img: Image.Image, image_size: int = 224) -> np.ndarray:
         new_w, new_h = image_size, int(image_size * h / w)
     else:
         new_w, new_h = int(image_size * w / h), image_size
-    img = img.convert("RGB").resize((new_w, new_h), Image.BICUBIC)
+    # torchvision transform order: resize -> center crop -> THEN convert to
+    # RGB (open_clip's _convert_to_rgb sits after the crop); converting first
+    # changes pixels for palette/other-mode inputs.
+    img = img.resize((new_w, new_h), Image.BICUBIC)
     w, h = img.size
     # torchvision center_crop: int(round((dim - crop)/2.0)) — round-half-even,
     # which differs from floor division when (dim - crop) % 4 == 3.
     left = int(round((w - image_size) / 2.0))
     top = int(round((h - image_size) / 2.0))
-    img = img.crop((left, top, left + image_size, top + image_size))
+    img = img.crop((left, top, left + image_size, top + image_size)).convert("RGB")
     arr = np.asarray(img, dtype=np.float32) / 255.0
     return (arr - CLIP_MEAN) / CLIP_STD
 

@@ -63,7 +63,9 @@ def psnr_batch(a_m11: jax.Array, b_m11: jax.Array) -> jax.Array:
     qa = jnp.clip((a_m11 + 1.0) * 127.5, 0, 255).astype(jnp.uint8).astype(jnp.float32)
     qb = jnp.clip((b_m11 + 1.0) * 127.5, 0, 255).astype(jnp.uint8).astype(jnp.float32)
     mse = jnp.mean((qa - qb) ** 2, axis=(1, 2, 3))
-    return 20.0 * jnp.log10(255.0 / jnp.sqrt(jnp.maximum(mse, 1e-12)))
+    psnr = 20.0 * jnp.log10(255.0 / jnp.sqrt(jnp.maximum(mse, 1e-12)))
+    # identical images -> inf, matching the scalar reference API (metrics.py:27)
+    return jnp.where(mse == 0, jnp.inf, psnr)
 
 
 # ------------------------------------------------------------------- SSIM

@@ -20,10 +20,14 @@ Dtype = Any
 
 
 def group_norm32(x: jax.Array, scale: jax.Array, bias: jax.Array, groups: int = 32, eps: float = 1e-5) -> jax.Array:
+    import math
+
     from ...ops.groupnorm import group_norm
 
-    # Clamp for sized-down test configs; real SD widths (>=128) use 32 groups.
-    return group_norm(x, (scale, bias), groups=min(groups, x.shape[-1]), eps=eps)
+    # Sized-down test configs need a divisor of C; real SD widths (all
+    # multiples of 32) keep 32 groups. gcd gives the largest valid clamp.
+    g = math.gcd(groups, int(x.shape[-1])) or 1
+    return group_norm(x, (scale, bias), groups=g, eps=eps)
 
 
 class ResnetBlock2D(nn.Module):

@@ -32,6 +32,7 @@ def sample_sharded(
     eta: float = 0.0,
     rng: Optional[jax.Array] = None,
     channels: int = 3,
+    model_params=None,
 ) -> np.ndarray:
     """Reconstruct a batch of embeddings with the batch sharded over ``data``.
 
@@ -43,7 +44,8 @@ def sample_sharded(
     if B % n_data != 0:
         raise ValueError(f"batch {B} not divisible by data axis {n_data}; pad the batch")
     z_sharded = shard_batch(mesh, np.asarray(z, np.float32))
-    out = ddim_sample(model_fn, sched, z_sharded, (B, image_size, image_size, channels), steps, eta, rng)
+    out = ddim_sample(model_fn, sched, z_sharded, (B, image_size, image_size, channels),
+                      steps, eta, rng, model_params=model_params)
     return np.asarray(out)
 
 
@@ -58,6 +60,7 @@ def sample_spatial_sharded(
     rng: Optional[jax.Array] = None,
     channels: int = 3,
     seed: int = 0,
+    model_params=None,
 ) -> np.ndarray:
     """High-resolution sampling with the image **height** sharded over the
     ``model`` axis on top of batch sharding over ``data`` — the
@@ -91,6 +94,6 @@ def sample_spatial_sharded(
     )
     out = ddim_sample(
         model_fn, sched, z_sharded, (B, image_size, image_size, channels),
-        steps, eta, rng, x_T=x_T,
+        steps, eta, rng, x_T=x_T, model_params=model_params,
     )
     return np.asarray(out)

@@ -90,8 +90,9 @@ class StoreData:
             try:
                 for b in it:
                     q.put(b)
-            finally:
                 q.put(_END)
+            except BaseException as e:  # propagate, never silently truncate the epoch
+                q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -99,4 +100,6 @@ class StoreData:
             item = q.get()
             if item is _END:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
