@@ -120,3 +120,54 @@ def test_spatial_sharded_sampling(rng):
 
     with pytest.raises(ValueError, match="not divisible"):
         sample_spatial_sharded(mesh, model_fn, sched, z, 15, steps=2)
+
+
+# --- driver entry points ------------------------------------------------
+
+
+def _repo_root():
+    import pathlib
+
+    return str(pathlib.Path(__file__).resolve().parent.parent)
+
+
+def test_dryrun_multichip_in_process():
+    """Backends are already initialized here (conftest forced CPU); the dry
+    run must work without needing to update jax_platforms."""
+    import sys
+
+    sys.path.insert(0, _repo_root())
+    try:
+        import __graft_entry__ as g
+
+        g.dryrun_multichip(8)
+    finally:
+        sys.path.pop(0)
+
+
+@pytest.mark.parametrize("preinit", [False, True], ids=["bare", "after-backend-init"])
+def test_dryrun_multichip_subprocess(preinit):
+    """The exact driver scenario: a fresh process where a sitecustomize may
+    have overridden JAX_PLATFORMS (so the env var alone is NOT enough — see
+    CLAUDE.md), optionally with a backend already initialized (as after
+    ``entry()``). The dry run must force/pin CPU itself and never touch a
+    TPU client."""
+    import os
+    import subprocess
+    import sys
+
+    pre = "import jax; jax.devices('cpu')\n" if preinit else ""
+    code = pre + "import __graft_entry__ as g\ng.dryrun_multichip(8)\n"
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # rely on in-process forcing only
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=_repo_root(),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "8 devices OK" in out.stdout
