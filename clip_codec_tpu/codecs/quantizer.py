@@ -30,13 +30,28 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@partial(jax.jit, static_argnames=("num_bits",))
+@jax.jit
+def _minmax(X: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    return jnp.min(X, axis=0), jnp.max(X, axis=0)
+
+
 def fit_affine(X: jax.Array, num_bits: int = 8, eps: float = 1e-8) -> Tuple[jax.Array, jax.Array]:
-    """Fit per-channel ``(scale, zero)`` over a dataset ``X`` of shape (N, D)."""
-    xmin = jnp.min(X, axis=0)
-    xmax = jnp.max(X, axis=0)
-    scale = jnp.maximum(xmax - xmin, eps) / (2**num_bits - 1)
-    return scale.astype(jnp.float32), xmin.astype(jnp.float32)
+    """Fit per-channel ``(scale, zero)`` over a dataset ``X`` of shape (N, D).
+
+    The O(N*D) min/max reduction runs on device; the final O(D) scale
+    arithmetic runs host-side in IEEE fp32. This is deliberate: XLA rewrites
+    divide-by-constant into a reciprocal multiply, which lands 1 ulp off
+    IEEE division in ~74% of channels (measured, tests/test_clp_bitwise.py)
+    and can flip rounding-tie integers vs the reference
+    (``codecs/quantizer.py:25``) — and TPU/CPU backends would each do it
+    differently. A codec's codebook must be deterministic across backends,
+    so the division is pinned to host IEEE semantics.
+    """
+    xmin, xmax = _minmax(jnp.asarray(X, jnp.float32))
+    xmin = np.asarray(xmin, np.float32)
+    rng_ = np.maximum(np.asarray(xmax, np.float32) - xmin, np.float32(eps))
+    scale = rng_ / np.float32(2**num_bits - 1)
+    return jnp.asarray(scale), jnp.asarray(xmin)
 
 
 @partial(jax.jit, static_argnames=("num_bits",))
