@@ -23,6 +23,8 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from .textclean import fix_text
+
 
 @lru_cache()
 def bytes_to_unicode() -> Dict[int, str]:
@@ -110,10 +112,10 @@ class CLIPTokenizer:
 
     def encode(self, text: str) -> List[int]:
         # open_clip's basic_clean: ftfy.fix_text + double html.unescape.
-        # ftfy is not a dependency (mojibake repair is skipped — documented
-        # divergence); the HTML entity unescaping matters for scraped
-        # captions ("black &amp; white") and is replicated exactly.
-        text = html.unescape(html.unescape(text))
+        # ftfy is not an available dependency; textclean.fix_text natively
+        # implements its default pipeline (mojibake repair, width/ligature/
+        # quote normalization, NFC — goldens in tests/test_textclean.py).
+        text = html.unescape(html.unescape(fix_text(text)))
         text = re.sub(r"\s+", " ", text.strip()).lower()
         ids: List[int] = []
         for tok in _WORD_RE.findall(text):

@@ -67,3 +67,29 @@ def test_truncation_keeps_eot(tiny_bpe):
     assert out.shape == (1, 4)
     assert out[0, 0] == tok.sot
     assert out[0, -1] == tok.eot
+
+
+def test_real_vocab_goldens():
+    """Token-id goldens vs open_clip's ViT-B-32 tokenizer, runnable whenever
+    a real ``bpe_simple_vocab_16e6.txt.gz`` is provided via CLIP_BPE_PATH
+    (the zero-egress build cannot bundle it). The expected ids are the
+    canonical openai/CLIP values: SOT=49406, EOT=49407, and the README
+    example "a photo of a cat" -> [320, 1125, 539, 320, 2368]."""
+    import os
+
+    path = os.environ.get("CLIP_BPE_PATH")
+    if not path or not __import__("pathlib").Path(path).exists():
+        pytest.skip("real CLIP BPE vocab not available (zero-egress build)")
+    tok = CLIPTokenizer(path)
+    assert tok.sot == 49406 and tok.eot == 49407
+    out = tok(["a photo of a cat"])
+    np.testing.assert_array_equal(
+        out[0, :7], [49406, 320, 1125, 539, 320, 2368, 49407]
+    )
+    # cleaning-stage integration: mojibake and entities repair before BPE
+    np.testing.assert_array_equal(
+        tok(["a photo of a cafÃ©"]), tok(["a photo of a café"])
+    )
+    np.testing.assert_array_equal(
+        tok(["fish &amp; chips"]), tok(["fish & chips"])
+    )
