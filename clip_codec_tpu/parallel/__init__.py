@@ -1,3 +1,8 @@
+from .distributed import (
+    initialize_distributed,
+    replicate_global,
+    shard_host_batch_global,
+)
 from .sample import sample_sharded, sample_spatial_sharded
 from .mesh import (
     DATA_AXIS,
@@ -19,4 +24,7 @@ __all__ = [
     "shard_batch",
     "sample_sharded",
     "sample_spatial_sharded",
+    "initialize_distributed",
+    "replicate_global",
+    "shard_host_batch_global",
 ]

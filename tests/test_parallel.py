@@ -171,3 +171,62 @@ def test_dryrun_multichip_subprocess(preinit):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "8 devices OK" in out.stdout
+
+
+def test_two_process_dp_matches_single_process():
+    """Multi-host (DCN) bring-up, SURVEY §2.5: a REAL 2-process CPU cluster
+    (gloo collectives, 4 virtual devices per process = 8 global) runs the DP
+    train step on an 8-way global mesh; loss and updated-parameter checksum
+    must match both across processes and vs the single-process oracle."""
+    import os
+    import re
+    import socket
+    import subprocess
+    import sys
+
+    import optax
+
+    from clip_codec_tpu.train import DiffusionTrainConfig, make_train_step
+
+    # --- single-process oracle (full batch on one device) ---
+    B, S, D = 8, 16, 32
+    net = CLIPCondUNet(z_dim=D, base=8, ch_mult=(1, 2), img_ch=3)
+    sched = NoiseSchedule.create(50, "cosine")
+    tx = optax.adamw(1e-3)
+    step = make_train_step(net, sched, tx, DiffusionTrainConfig(bf16=False))
+    host = np.random.default_rng(0)
+    x0 = host.standard_normal((B, S, S, 3)).astype(np.float32)
+    z = host.standard_normal((B, D)).astype(np.float32)
+    w = np.ones(B, np.float32)
+    params = net.init(jax.random.PRNGKey(0), x0[:1], z[:1], jnp.zeros((1,), jnp.int32))["params"]
+    params, _, loss = step(params, tx.init(params), x0, z, w, jax.random.PRNGKey(1), True)
+    oracle_loss = float(loss)
+    oracle_sum = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree_util.tree_leaves(params))
+
+    # --- 2-process cluster ---
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    worker = str(__import__("pathlib").Path(__file__).parent / "dcn_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", str(port)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for i in range(2)
+    ]
+    results = {}
+    for i, p in enumerate(procs):
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"worker {i} failed:\n{err[-2000:]}"
+        m = re.search(r"RESULT pid=(\d) loss=([\d.eE+-]+) checksum=([\d.eE+-]+)", out)
+        assert m, out
+        results[int(m.group(1))] = (float(m.group(2)), float(m.group(3)))
+
+    (l0, c0), (l1, c1) = results[0], results[1]
+    assert l0 == l1 and c0 == c1  # both processes observe the same globals
+    np.testing.assert_allclose(l0, oracle_loss, rtol=2e-5)
+    np.testing.assert_allclose(c0, oracle_sum, rtol=2e-5)
