@@ -52,6 +52,42 @@ def timestep_embedding(t: jax.Array, dim: int, max_period: int = 10000) -> jax.A
     return emb
 
 
+class ConvTranspose4x2(nn.Module):
+    """``ConvTranspose2d(k=4, s=2, p=1)`` with the flax parameter layout
+    (kernel (4, 4, out, in) + bias), computed either by flax's transposed
+    conv or — ``phase_decomposed=True`` — as four dense 2x2 phase convs +
+    interleave (ops/conv_transpose.py). Identical parameters and math, so
+    checkpoints/converters are unaffected by the flag."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+    phase_decomposed: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cin = x.shape[-1]
+        # default lecun_normal() on the (4, 4, out, in) shape == what flax's
+        # ConvTranspose(transpose_kernel=True) does — fresh-init values stay
+        # bit-identical across the flag (same param rng path + fan rule).
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (4, 4, self.features, cin),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        xc = x.astype(self.dtype)
+        kc = kernel.astype(self.dtype)
+        if self.phase_decomposed:
+            from ..ops.conv_transpose import conv_transpose_k4s2
+
+            y = conv_transpose_k4s2(xc, kc, None)
+        else:
+            y = jax.lax.conv_transpose(
+                xc, kc, strides=(2, 2), padding=((2, 2), (2, 2)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True,
+            )
+        return y + bias.astype(y.dtype)
+
+
 class CLIPCondUNet(nn.Module):
     """FiLM-conditioned fully-convolutional U-Net predicting eps(x_t, z, t)."""
 
@@ -61,6 +97,14 @@ class CLIPCondUNet(nn.Module):
     time_dim: int = 256
     img_ch: int = 3
     dtype: Dtype = jnp.float32
+    # Upsamplers as phase-decomposed dense convs (identical math/params).
+    # Measured on chip (bench_profile.py): the decomposition LOSES on the
+    # full DDIM path (9.2 vs 11.5 img/s — the phase interleave adds a full
+    # memory pass; XLA's transposed conv is already phase-efficient in
+    # context), so the default stays False. Kept as an A/B-able op with an
+    # exactness test rather than deleted, per the keep-only-if-it-beats-XLA
+    # rule.
+    phase_decomposed_up: bool = False
 
     @nn.compact
     def __call__(self, x_t: jax.Array, z: jax.Array, t: jax.Array) -> jax.Array:
@@ -100,9 +144,9 @@ class CLIPCondUNet(nn.Module):
             x = ResBlock(ch, dtype=self.dtype, name=f"up_{j}_rb1")(x, h)
             # padding (2,2) + transpose_kernel=True == torch ConvTranspose2d
             # (k=4, s=2, p=1): exact 2x upsample, numerically verified.
-            x = nn.ConvTranspose(
-                ch // m, (4, 4), strides=(2, 2), padding=((2, 2), (2, 2)),
-                transpose_kernel=True, dtype=self.dtype, name=f"up_{j}_us",
+            x = ConvTranspose4x2(
+                ch // m, dtype=self.dtype, phase_decomposed=self.phase_decomposed_up,
+                name=f"up_{j}_us",
             )(x)
             ch = ch // m
             x = x + skips.pop()

@@ -1,0 +1,314 @@
+"""Fused FiLM-modulated ResBlock inner loop — the SURVEY §2.4 north-star.
+
+The reference ResBlock (``models/blocks.py:28-44``) is, per conv:
+
+    y = conv3x3( silu( gn(x) [* (1+s) + b] ) ) (+ residual)
+
+On TPU, XLA cannot fuse elementwise producers/consumers into a convolution
+(convs lower to unfusable library calls), so the chain costs ~6 HBM passes
+per conv at the 256x256x128 activation size where 35% of the U-Net's FLOPs
+live. The whole pre-conv chain, however, is a single per-(batch, channel)
+AFFINE + SiLU:
+
+    gn:         (x - m_g) * rsqrt(v_g + eps) * gamma_c + beta_c
+    gn o film:  folds the FiLM (1+s_c), b_c into the same (A, B)
+    =>          silu(x * A[b,c] + B[b,c])
+
+and the *group* statistics the next gn needs are derivable from per-channel
+raw moments (sum, sum of squares) of the conv output. So ONE kernel shape
+covers the whole block:
+
+    affine_silu_conv3x3(x, A, B, w, bias, add=None, want_moments=False)
+      = conv3x3(silu(x * A + B)) + bias (+ add)   [+ per-channel moments]
+
+computed as 9 shifted (TH*W, Cin) x (Cin, Cout) MXU matmuls over row-tiles
+with a 1-row halo (manual DMA — BlockSpec blocks cannot overlap), the
+prologue on the VPU in-VMEM, and moments accumulated from the fp32
+accumulator before the bf16 store. HBM traffic per conv: read x + write y
+(2 passes) vs XLA's ~6.
+
+The backward pass falls back to XLA via ``jax.custom_vjp`` over the jnp
+reference (`_reference`), which is also the CPU/interpret-mode oracle
+(tests/test_pallas_resblock.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the ~16MB/core VMEM
+
+
+def _pick_th(H: int, W: int, cin: int, cout: int, itemsize: int) -> int:
+    """Largest row-tile TH dividing H such that scratch + acc + out fit."""
+    for th in (128, 64, 32, 16, 8):
+        if H % th:
+            continue
+        scratch = (th + 2) * W * cin * itemsize
+        act32 = 2 * (th + 2) * W * cin * 4  # fp32 act + one rolled copy
+        acc = th * W * cout * 4
+        out = th * W * cout * itemsize
+        wts = 9 * cin * cout * itemsize
+        if scratch + act32 + acc + out + wts <= VMEM_BUDGET:
+            return th
+    return 8
+
+
+def _kernel(x_hbm, a_ref, b_ref, w_ref, bias_ref, *rest, TH, H, W, cin, cout,
+            nH, has_add, want_moments):
+    if has_add:
+        add_ref, y_ref = rest[0], rest[1]
+        outs = rest[2:]
+    else:
+        add_ref, y_ref = None, rest[0]
+        outs = rest[1:]
+    mom_ref = outs[0] if want_moments else None
+    scratch, sem = outs[-2], outs[-1]
+
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+
+    # ---- halo DMA: rows [i*TH - 1, i*TH + TH + 1) of image b into scratch
+    # rows, shifted right by one column (cols 0 and W+1 stay pad) -----------
+    if nH == 1:
+        cp = pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(0, H), :, :], scratch.at[pl.ds(1, H), :, :], sem
+        )
+        cp.start()
+        cp.wait()
+    else:
+        @pl.when(i == 0)
+        def _():
+            cp = pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(0, TH + 1), :, :],
+                scratch.at[pl.ds(1, TH + 1), :, :], sem,
+            )
+            cp.start()
+            cp.wait()
+
+        @pl.when(i == nH - 1)
+        def _():
+            cp = pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(H - TH - 1, TH + 1), :, :],
+                scratch.at[pl.ds(0, TH + 1), :, :], sem,
+            )
+            cp.start()
+            cp.wait()
+
+        @pl.when(jnp.logical_and(i > 0, i < nH - 1))
+        def _():
+            cp = pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(jnp.maximum(i * TH - 1, 0), TH + 2), :, :],
+                scratch.at[pl.ds(0, TH + 2), :, :], sem,
+            )
+            cp.start()
+            cp.wait()
+
+    # ---- prologue: act = silu(x*A + B), zero outside the valid image ------
+    x_tile = scratch[...]
+    a_vec = a_ref[b, :].astype(jnp.float32)
+    b_vec = b_ref[b, :].astype(jnp.float32)
+    pre = x_tile.astype(jnp.float32) * a_vec[None, None, :] + b_vec[None, None, :]
+    act = pre * jax.nn.sigmoid(pre)
+    # Valid-row mask, built 3-D in int32: Mosaic only supports minor-dim
+    # broadcasts for 32-bit types, so no bool[:, :, None] here. Columns span
+    # exactly the image width; horizontal padding is handled at the shifts.
+    rows = jax.lax.broadcasted_iota(jnp.int32, (TH + 2, W, 1), 0) + i * TH - 1
+    valid = (rows >= 0) & (rows < H)
+    act = jnp.where(valid, act, 0.0)  # fp32: pltpu.roll needs 32-bit data
+
+    # ---- 9 shifted matmuls on the MXU --------------------------------------
+    # Column shifts via pltpu.roll (slices on the sublane dim must be
+    # 8-aligned, so act[:, dx:dx+W] with dx in {1,2} is not lowerable); row
+    # shifts are slices on the untiled leading dim. The contraction is a 3-D
+    # dot_general over the channel dim — no reshapes, Mosaic maps it to the
+    # MXU with the leading dims collapsed.
+    dn = (((2,), (0,)), ((), ()))
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (TH + 2, W, 1), 1)
+    acc = jnp.zeros((TH, W, cout), jnp.float32)
+    for dx in range(3):
+        # Column offset dx-1 via circular roll (sublane slices must be
+        # 8-aligned, so act[:, dx-1+j] windows are not sliceable); the
+        # wrapped column is image padding and gets zeroed. pltpu.roll needs
+        # a non-negative shift and 32-bit data (hence fp32 act).
+        if dx == 1:
+            sh = act
+        elif dx == 0:  # left neighbor: shift right by 1, col 0 is padding
+            sh = jnp.where(col_ids >= 1, pltpu.roll(act, 1, axis=1), 0.0)
+        else:  # right neighbor: shift left by 1, col W-1 is padding
+            sh = jnp.where(col_ids < W - 1, pltpu.roll(act, W - 1, axis=1), 0.0)
+        cols = sh.astype(x_tile.dtype)
+        for dy in range(3):
+            acc = acc + jax.lax.dot_general(
+                cols[dy : dy + TH], w_ref[3 * dy + dx], dn,
+                preferred_element_type=jnp.float32,
+            )
+
+    acc = acc + bias_ref[0, :].astype(jnp.float32)[None, None, :]
+    if has_add:
+        acc = acc + add_ref[0].astype(jnp.float32)
+
+    if want_moments:
+        mom_ref[0, 0, 0, :] = jnp.sum(acc, axis=(0, 1))
+        mom_ref[0, 0, 1, :] = jnp.sum(acc * acc, axis=(0, 1))
+
+    y_ref[0] = acc.astype(y_ref.dtype)
+
+
+def _reference(x, A, B, w9, bias, add):
+    """jnp oracle (and the custom_vjp backward path)."""
+    pre = x.astype(jnp.float32) * A[:, None, None, :] + B[:, None, None, :]
+    act = (pre * jax.nn.sigmoid(pre)).astype(x.dtype)
+    k = w9.reshape(3, 3, w9.shape[1], w9.shape[2])  # (kh, kw, Cin, Cout)
+    y = jax.lax.conv_general_dilated(
+        act, k, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    y = y + bias.astype(jnp.float32)[None, None, None, :]
+    if add is not None:
+        y = y + add.astype(jnp.float32)
+    return y
+
+
+def _moments_of(y32):
+    s = jnp.sum(y32, axis=(1, 2))
+    ss = jnp.sum(y32 * y32, axis=(1, 2))
+    return jnp.stack([s, ss], axis=1)  # (B, 2, Cout)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _fused(x, A, B, w9, bias, add, want_moments):
+    B_, H, W, cin = x.shape
+    cout = w9.shape[2]
+    TH = _pick_th(H, W, cin, cout, x.dtype.itemsize)
+    nH = H // TH
+    has_add = add is not None
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),  # x: manual halo DMA
+        # full (B, C) blocks — Mosaic requires last-two block dims divisible
+        # by (8, 128) or equal to the array's; row-indexed in the kernel.
+        pl.BlockSpec((B_, cin), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((B_, cin), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((9, cin, cout), lambda b, i: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cout), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [x, A.astype(jnp.float32), B.astype(jnp.float32), w9,
+            bias.reshape(1, cout)]
+    if has_add:
+        in_specs.append(
+            pl.BlockSpec((1, TH, W, cout), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(add)
+
+    out_shape = [jax.ShapeDtypeStruct((B_, H, W, cout), x.dtype)]
+    out_specs = [
+        pl.BlockSpec((1, TH, W, cout), lambda b, i: (b, i, 0, 0),
+                     memory_space=pltpu.VMEM)
+    ]
+    if want_moments:
+        out_shape.append(jax.ShapeDtypeStruct((B_, nH, 2, cout), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, 1, 2, cout), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+
+    kernel = functools.partial(
+        _kernel, TH=TH, H=H, W=W, cin=cin, cout=cout, nH=nH,
+        has_add=has_add, want_moments=want_moments,
+    )
+    flops = 2 * 9 * cin * cout * H * W * B_
+    res = pl.pallas_call(
+        kernel,
+        grid=(B_, nH),
+        in_specs=in_specs,
+        out_specs=out_specs if len(out_specs) > 1 else out_specs[0],
+        out_shape=out_shape if len(out_shape) > 1 else out_shape[0],
+        scratch_shapes=[
+            pltpu.VMEM((TH + 2, W, cin), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=x.size * x.dtype.itemsize * 2,
+            transcendentals=x.size,
+        ),
+    )(*args)
+    if want_moments:
+        y, mom = res
+        return y, jnp.sum(mom, axis=1)  # (B, 2, Cout)
+    return res, None
+
+
+def _fused_fwd(x, A, B, w9, bias, add, want_moments):
+    out = _fused(x, A, B, w9, bias, add, want_moments)
+    return out, (x, A, B, w9, bias, add)
+
+
+def _fused_bwd(want_moments, residuals, g):
+    x, A, B, w9, bias, add = residuals
+    gy, gmom = g
+
+    def ref_fn(x, A, B, w9, bias, add):
+        y32 = _reference(x, A, B, w9, bias, add)
+        mom = _moments_of(y32) if want_moments else None
+        y = y32.astype(x.dtype)
+        return y, mom
+
+    has_add = add is not None
+
+    def closed(*diff_args):
+        if has_add:
+            y, mom = ref_fn(*diff_args)
+        else:
+            y, mom = ref_fn(*diff_args, None)
+        if want_moments:
+            return y, mom
+        return (y,)
+
+    diff = (x, A, B, w9, bias) + ((add,) if has_add else ())
+    cts = (gy, gmom) if want_moments else (gy,)
+    grads = jax.vjp(closed, *diff)[1](cts)
+    if not has_add:
+        grads = grads + (None,)
+    return grads
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def affine_silu_conv3x3(
+    x: jax.Array,
+    A: jax.Array,
+    B: jax.Array,
+    w9: jax.Array,
+    bias: jax.Array,
+    add: Optional[jax.Array] = None,
+    want_moments: bool = False,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """``conv3x3(silu(x*A + B)) + bias (+ add)``, fused on TPU.
+
+    x: (B, H, W, Cin) NHWC; A, B: (B, Cin) per-(batch, channel) affine;
+    w9: (9, Cin, Cout) — conv kernel reshaped from (3, 3, Cin, Cout);
+    bias: (Cout,); add: optional (B, H, W, Cout) residual.
+    Returns (y, moments) where moments is (B, 2, Cout) = [sum, sum-of-squares]
+    of the fp32 output per channel (None unless requested).
+    """
+    return _fused(x, A, B, w9, bias, add, want_moments)
+
+
+def affine_silu_conv3x3_reference(x, A, B, w9, bias, add=None, want_moments=False):
+    y32 = _reference(x, A, B, w9, bias, add)
+    mom = _moments_of(y32) if want_moments else None
+    return y32.astype(x.dtype), mom

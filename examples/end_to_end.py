@@ -1,6 +1,7 @@
 """Runnable end-to-end example on synthetic data (no pretrained weights).
 
-    JAX_PLATFORMS=cpu python examples/end_to_end.py
+    python examples/end_to_end.py          # CPU-forced in-process
+    python examples/end_to_end.py --tpu    # use the default accelerator
 
 Builds a tiny store, trains a small diffusion decoder, reconstructs an image
 from its .clp bitstream, and scores it.
@@ -12,8 +13,11 @@ from pathlib import Path
 
 import jax
 
-if jax.default_backend() == "cpu":
-    pass  # already CPU
+# In-process platform forcing: a preloaded TPU plugin can override the
+# JAX_PLATFORMS env var from sitecustomize, so the env var alone is not
+# reliable (see CLAUDE.md "Environment rules"). Must run before backend use.
+if "--tpu" not in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
 import numpy as np
 from PIL import Image
 

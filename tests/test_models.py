@@ -139,3 +139,24 @@ def test_lite_decoder_shapes(rng):
     m = FeatureToImageDecoderLite(in_dim=32, base=32, out_size=64)
     y = m.apply(m.init(jax.random.PRNGKey(0), z), z)
     assert y.shape == (2, 64, 64, 3)
+
+
+def test_phase_decomposed_upsampler_equivalence(rng):
+    """ConvTranspose4x2 phase-decomposed path == flax ConvTranspose, on the
+    same params (ops/conv_transpose.py): identical math, init, and tree."""
+    from clip_codec_tpu.models import CLIPCondUNet
+
+    x = rng.standard_normal((2, 16, 16, 3)).astype(np.float32)
+    z = rng.standard_normal((2, 16)).astype(np.float32)
+    t = np.array([3, 40], np.int32)
+    a = CLIPCondUNet(z_dim=16, base=8, ch_mult=(1, 2), img_ch=3, phase_decomposed_up=True)
+    b = CLIPCondUNet(z_dim=16, base=8, ch_mult=(1, 2), img_ch=3, phase_decomposed_up=False)
+    pa = a.init(jax.random.PRNGKey(5), x[:1], z[:1], t[:1])
+    pb = b.init(jax.random.PRNGKey(5), x[:1], z[:1], t[:1])
+    # same param tree AND same fresh-init values (same rng paths + fan rule)
+    assert jax.tree_util.tree_structure(pa) == jax.tree_util.tree_structure(pb)
+    for la, lb in zip(jax.tree_util.tree_leaves(pa), jax.tree_util.tree_leaves(pb)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    ya = np.asarray(a.apply(pa, x, z, t))
+    yb = np.asarray(b.apply(pb, x, z, t))
+    np.testing.assert_allclose(ya, yb, rtol=1e-5, atol=1e-6)
