@@ -152,3 +152,58 @@ def test_train_cli(trained_store, monkeypatch, tmp_path, capsys):
     assert "Final checkpoint:" in out
     assert (tmp_path / "tcli" / "diffusion_unet_final.msgpack").exists()
     assert (tmp_path / "tcli" / "model_config.json").exists()
+
+
+def test_precompute_latents_cli(trained_store, monkeypatch, tmp_path):
+    """Full CLI-level run of cli.precompute_latents on a tiny VAE: the
+    reference format contract (cli/precompute_latents.py:8-13,26-31) —
+    fp16 CHW (4, S/8, S/8) npz key 'lat' under latents/<stem>.npz, plus
+    manifest_latents.json with the added 'latent' field. The diffusers
+    checkpoint converter is covered by test_sd_convert.py; here it is
+    stubbed so the CLI's own pipeline (args, store IO, batching, scaling,
+    format) is what's under test."""
+    import jax
+
+    from clip_codec_tpu.models.sd import AutoencoderKL
+    from tests.test_sd import TINY_VAE
+
+    store, _, _ = trained_store
+    vae = AutoencoderKL(TINY_VAE)
+    vae_params = vae.init(
+        jax.random.PRNGKey(0), np.zeros((1, 16, 16, 3), np.float32), jax.random.PRNGKey(1)
+    )["params"]
+
+    import clip_codec_tpu.models.sd as sd_mod
+    import clip_codec_tpu.weights.convert_sd as conv_mod
+
+    monkeypatch.setattr(sd_mod, "SD15_VAE", TINY_VAE)
+    monkeypatch.setattr(conv_mod, "load_sd_params", lambda **kw: (None, vae_params))
+    fake_ckpt = tmp_path / "vae.bin"
+    fake_ckpt.write_bytes(b"stub")  # existence-gated only; loader is stubbed
+
+    from clip_codec_tpu.cli.precompute_latents import main
+
+    _run_cli(monkeypatch, main, [
+        "--store_dir", str(store), "--size", "16", "--batch_size", "3",
+        "--device", "cpu", "--vae_weights", str(fake_ckpt),
+    ])
+
+    manifest = json.loads((store / "manifest_latents.json").read_text())
+    assert len(manifest) == 4
+    down = 2 ** (len(TINY_VAE.block_out) - 1)
+    for rec in manifest:
+        lat_path = Path(rec["latent"])
+        assert lat_path.exists() and lat_path.parent.name == "latents"
+        lat = np.load(lat_path)["lat"]
+        assert lat.dtype == np.float16  # format parity: fp16 CHW
+        assert lat.shape == (TINY_VAE.latent_ch, 16 // down, 16 // down)
+        assert np.isfinite(lat).all()
+
+
+def test_precompute_latents_cli_gated_without_weights(trained_store, monkeypatch):
+    from clip_codec_tpu.cli.precompute_latents import main
+
+    store, _, _ = trained_store
+    monkeypatch.delenv("CLIP_CODEC_SD_VAE_WEIGHTS", raising=False)
+    with pytest.raises(RuntimeError, match="SD VAE weights"):
+        _run_cli(monkeypatch, main, ["--store_dir", str(store), "--device", "cpu"])
