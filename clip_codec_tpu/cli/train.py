@@ -36,8 +36,20 @@ def main() -> None:
     ap.add_argument("--device", type=str, default=default_device())
     ap.add_argument("--clip_weights", type=str, default=None,
                     help="enable the CLIP-alignment loss term with these CLIP weights")
+    ap.add_argument("--data_parallel", action="store_true",
+                    help="shard each batch over all devices (params replicated; "
+                         "batch_size is global and must divide the device count)")
+    ap.add_argument("--distributed", action="store_true",
+                    help="join a multi-host cluster first (coordinator from "
+                         "JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/JAX_PROCESS_ID "
+                         "or TPU-pod auto-discovery); implies --data_parallel")
     args = ap.parse_args()
     apply_device_flag(args.device)
+    if args.distributed:
+        from ..parallel import initialize_distributed
+
+        initialize_distributed()  # must precede any backend use
+        args.data_parallel = True
 
     from ..train import DiffusionTrainConfig, train_diffusion
 
@@ -60,9 +72,14 @@ def main() -> None:
         ch_mult=tuple(int(c) for c in args.ch_mult.split(",")),
         bf16=not args.no_bf16, seed=args.seed, log_every=args.log_every,
     )
+    mesh = None
+    if args.data_parallel:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh()
     ckpt = train_diffusion(args.store_dir, config=cfg, save_dir=args.save_dir,
                            clip_embed_fn=clip_embed_fn, clip_params=clip_params,
-                           resume=args.resume)
+                           resume=args.resume, mesh=mesh)
     print(f"Final checkpoint: {ckpt}")
 
 

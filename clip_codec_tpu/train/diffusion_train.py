@@ -134,6 +134,7 @@ def train_diffusion(
     config: Optional[DiffusionTrainConfig] = None,
     resume: bool = False,
     clip_params=None,
+    mesh=None,
 ) -> Path:
     """Train the diffusion decoder on all samples from the store.
 
@@ -149,6 +150,16 @@ def train_diffusion(
     ``resume=True`` continues from the latest orbax full-state checkpoint in
     ``save_dir/orbax`` (params + optimizer state + epoch) — the restart path
     the reference lacks (it saves params only, SURVEY.md §5).
+
+    ``mesh``: a :func:`clip_codec_tpu.parallel.make_mesh` device mesh for
+    data-parallel training — params/optimizer state are replicated, every
+    batch is sharded over the ``data`` axis, and XLA inserts the gradient
+    psum (ICI within a host, DCN across hosts). Works both single-process
+    (all local devices) and multi-process (call
+    :func:`clip_codec_tpu.parallel.initialize_distributed` first and pass a
+    global mesh; each process feeds its own slice of every batch).
+    ``cfg.batch_size`` is the GLOBAL batch and must be divisible by the
+    mesh's data-axis size.
     """
     cfg = config or DiffusionTrainConfig(
         out_size=out_size, epochs=epochs, batch_size=batch_size, lr=lr,
@@ -169,10 +180,32 @@ def train_diffusion(
     params = net.init(init_rng, dummy, jnp.zeros((1, data.z_dim), jnp.float32), jnp.zeros((1,), jnp.int32))["params"]
     opt_state = tx.init(params)
 
-    ModelConfig(
-        z_dim=data.z_dim, base=cfg.base, ch_mult=tuple(cfg.ch_mult),
-        timesteps=cfg.timesteps, schedule=cfg.schedule, out_size=cfg.out_size,
-    ).save(save_dir)
+    place_batch = lambda *arrays: tuple(jnp.asarray(a) for a in arrays)
+    place_state = lambda tree: tree
+    if mesh is not None:
+        n_data = mesh.shape["data"]
+        if cfg.batch_size % n_data:
+            raise ValueError(f"batch_size={cfg.batch_size} not divisible by data axis {n_data}")
+        if jax.process_count() > 1:
+            from ..parallel import replicate_global, shard_host_batch_global
+
+            place_state = lambda tree: replicate_global(mesh, tree)
+            per_proc = cfg.batch_size // jax.process_count()
+            lo = jax.process_index() * per_proc
+
+            def place_batch(*arrays):  # each process contributes its slice
+                return shard_host_batch_global(mesh, *(a[lo : lo + per_proc] for a in arrays))
+        else:
+            from ..parallel import replicate, shard_batch
+
+            place_state = lambda tree: replicate(mesh, tree)
+            place_batch = lambda *arrays: shard_batch(mesh, *arrays)
+
+    if jax.process_index() == 0:
+        ModelConfig(
+            z_dim=data.z_dim, base=cfg.base, ch_mult=tuple(cfg.ch_mult),
+            timesteps=cfg.timesteps, schedule=cfg.schedule, out_size=cfg.out_size,
+        ).save(save_dir)
 
     from ..utils.checkpoint import TrainCheckpointer
 
@@ -186,6 +219,8 @@ def train_diffusion(
             opt_state = restored["opt_state"]
             start_epoch = int(restored["epoch"])
             print(f"[train] resumed from epoch {start_epoch}")
+    params = place_state(params)
+    opt_state = place_state(opt_state)
     step_fn = make_train_step(net, sched, tx, cfg, clip_embed_fn)
     logger = TrainLogger(log_every=cfg.log_every)
     data_rng = np.random.default_rng(cfg.seed)
@@ -199,10 +234,9 @@ def train_diffusion(
         t0 = time.time()
         for batch in data.epoch(cfg.batch_size, data_rng):
             rng, step_rng = jax.random.split(rng)
+            x0_d, z_d, w_d = place_batch(batch.x0, batch.z, batch.weight)
             params, opt_state, loss = step_fn(
-                params, opt_state,
-                jnp.asarray(batch.x0), jnp.asarray(batch.z), jnp.asarray(batch.weight),
-                step_rng, clip_on, clip_params,
+                params, opt_state, x0_d, z_d, w_d, step_rng, clip_on, clip_params,
             )
             losses.append(loss)
             weights.append(batch.weight.sum())
@@ -211,8 +245,10 @@ def train_diffusion(
         # One host sync per epoch for metrics.
         ep_loss = float(np.average([float(l) for l in losses], weights=weights))
         imgs_per_sec = sum(weights) / max(time.time() - t0, 1e-9)
-        save_params(save_dir / f"diffusion_unet_ep{ep + 1}.msgpack", params)
-        checkpointer.save(ep + 1, {"params": params, "opt_state": opt_state, "epoch": ep + 1})
+        if jax.process_index() == 0:  # params are fully replicated
+            save_params(save_dir / f"diffusion_unet_ep{ep + 1}.msgpack", params)
+            checkpointer.save(ep + 1, {"params": params, "opt_state": opt_state, "epoch": ep + 1})
         logger.epoch(ep + 1, cfg.epochs, ep_loss, imgs_per_sec)
-    save_params(final_path, params)
+    if jax.process_index() == 0:
+        save_params(final_path, params)
     return final_path

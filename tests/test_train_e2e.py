@@ -105,3 +105,21 @@ def test_resume_from_orbax(tiny_store, tmp_path):
     from clip_codec_tpu.utils.checkpoint import TrainCheckpointer
 
     assert TrainCheckpointer(save / "orbax").latest_step() == 4
+
+
+def test_train_diffusion_with_mesh(tiny_store, tmp_path):
+    """Product-surface DP: train_diffusion(mesh=...) shards batches over the
+    8 virtual devices, replicates state, trains, and writes checkpoints."""
+    from clip_codec_tpu.parallel import make_mesh
+    from clip_codec_tpu.train import train_diffusion
+
+    cfg = DiffusionTrainConfig(out_size=8, epochs=2, batch_size=8, timesteps=20,
+                               base=8, ch_mult=(1, 2), bf16=False)
+    ckpt = train_diffusion(tiny_store, config=cfg, save_dir=tmp_path / "dp",
+                           mesh=make_mesh(8))
+    assert ckpt.exists()
+
+    with pytest.raises(ValueError, match="not divisible"):
+        train_diffusion(tiny_store, config=DiffusionTrainConfig(
+            out_size=8, epochs=1, batch_size=3, timesteps=20, base=8,
+            ch_mult=(1, 2), bf16=False), save_dir=tmp_path / "bad", mesh=make_mesh(8))
