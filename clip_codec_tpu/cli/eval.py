@@ -29,6 +29,9 @@ def main() -> None:
     ap.add_argument("--device", type=str, default=default_device())
     ap.add_argument("--out_json", type=str, default=None)
     ap.add_argument("--batch_size", type=int, default=8, help="DDIM reconstruction batch")
+    ap.add_argument("--data_parallel", action="store_true",
+                    help="shard each reconstruction batch over all devices "
+                         "(batch_size must divide the device count)")
     ap.add_argument("--base", type=int, default=None,
                     help="U-Net base width (default: model_config.json next to --weights, else 128)")
     ap.add_argument("--ch_mult", type=str, default=None, help="U-Net channel multipliers")
@@ -63,6 +66,18 @@ def main() -> None:
     model_fn = lambda p, xt, zz, t: net.apply(p, xt, zz, t)
     model_params = {"params": params}
 
+    mesh = None
+    if args.data_parallel:
+        from ..parallel import make_mesh, replicate, sample_sharded
+
+        mesh = make_mesh()
+        if args.batch_size % mesh.shape["data"]:
+            raise ValueError(
+                f"batch_size={args.batch_size} not divisible by the "
+                f"data-axis size {mesh.shape['data']}"
+            )
+        model_params = replicate(mesh, model_params)
+
     lpips_model = _default_lpips()
     clip_enc = _default_clip_encoder()
 
@@ -77,9 +92,16 @@ def main() -> None:
         z = np.stack([store.decode_vector(i) for i in idx])
         zb = pad_rows(z, B)
         rng, srng = jax.random.split(rng)
-        x = sampler.sample(model_fn, jnp.asarray(zb), (B, args.size, args.size, 3),
-                           steps=args.steps, rng=srng, model_params=model_params)
-        recon = np.asarray(jnp.clip(x, -1, 1))[: len(idx)]
+        if mesh is not None:
+            from ..parallel import sample_sharded
+
+            x = sample_sharded(mesh, model_fn, sched, zb, args.size,
+                               steps=args.steps, eta=args.eta, rng=srng,
+                               model_params=model_params)
+        else:
+            x = sampler.sample(model_fn, jnp.asarray(zb), (B, args.size, args.size, 3),
+                               steps=args.steps, rng=srng, model_params=model_params)
+        recon = np.asarray(np.clip(np.asarray(x), -1, 1))[: len(idx)]
         orig = np.stack([load_image_m11(store.manifest[i]["image"], args.size) for i in idx])
         ps = np.asarray(psnr_batch(jnp.asarray(orig), jnp.asarray(recon)))
         ss = np.asarray(ssim_batch(jnp.asarray(orig), jnp.asarray(recon)))

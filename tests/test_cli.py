@@ -207,3 +207,24 @@ def test_precompute_latents_cli_gated_without_weights(trained_store, monkeypatch
     monkeypatch.delenv("CLIP_CODEC_SD_VAE_WEIGHTS", raising=False)
     with pytest.raises(RuntimeError, match="SD VAE weights"):
         _run_cli(monkeypatch, main, ["--store_dir", str(store), "--device", "cpu"])
+
+
+def test_eval_cli_data_parallel(trained_store, monkeypatch, capsys):
+    """--data_parallel shards the reconstruction batch over the 8 virtual
+    devices; aggregates must match the single-device run to fp tolerance."""
+    from clip_codec_tpu.cli.eval import main
+
+    store, ckpt, tmp = trained_store
+    common = ["--store_dir", str(store), "--weights", str(ckpt), "--size", "16",
+              "--steps", "4", "--device", "cpu", "--batch_size", "8", "--seed", "3"]
+    _run_cli(monkeypatch, main, common)
+    single = capsys.readouterr().out
+    _run_cli(monkeypatch, main, common + ["--data_parallel"])
+    sharded = capsys.readouterr().out
+    import re
+
+    def agg(out, key):
+        return float(re.search(rf"Average {key}: ([-\d.]+)", out).group(1))
+
+    assert abs(agg(single, "PSNR") - agg(sharded, "PSNR")) < 0.05
+    assert abs(agg(single, "SSIM") - agg(sharded, "SSIM")) < 0.005
