@@ -61,28 +61,19 @@ def _step_coefficients(sched: NoiseSchedule, steps: int) -> Tuple[jax.Array, jax
     return t_stack, al_bar_t, al_bar_s
 
 
-@partial(jax.jit, static_argnames=("model_fn", "shape", "steps", "eta"))
-def ddim_sample(
+@partial(jax.jit, static_argnames=("model_fn", "shape", "steps", "stochastic"))
+def _ddim_sample(
     model_fn: ModelFn,
     sched: NoiseSchedule,
     z: jax.Array,
     shape: Tuple[int, ...],
-    steps: int = 50,
-    eta: float = 0.0,
-    rng: Optional[jax.Array] = None,
-    x_T: Optional[jax.Array] = None,
-    model_params=None,
+    steps: int,
+    eta: jax.Array,
+    rng: Optional[jax.Array],
+    x_T: Optional[jax.Array],
+    model_params,
+    stochastic: bool,
 ) -> jax.Array:
-    """Sample images of ``shape`` = (B, H, W, C) conditioned on ``z`` (B, D).
-
-    ``rng`` seeds both the initial noise (when ``x_T`` is None) and, for
-    ``eta > 0``, the per-step stochastic noise injection.
-
-    ``model_params``: when given, ``model_fn(model_params, x, z, t)`` is
-    called with the params as a traced jit ARGUMENT instead of a closure
-    constant — required for large models over remote-compile transports
-    (closure constants are serialized into the program body; ~600MB fails).
-    """
     if rng is None:
         rng = jax.random.PRNGKey(0)
     rng, init_rng = jax.random.split(rng)
@@ -103,7 +94,7 @@ def ddim_sample(
         sigma = eta * jnp.sqrt((1.0 - ab_s) / (1.0 - abt) * (1.0 - abt / ab_s))
         dir_xt = jnp.sqrt(ab_s - sigma**2) * eps  # nonstandard, see (c)
         x_new = jnp.sqrt(ab_s) * x0_pred + dir_xt
-        if eta > 0:
+        if stochastic:
             rng, nrng = jax.random.split(rng)
             noise = jax.random.normal(nrng, shape, dtype=jnp.float32)
             x_new = x_new + jnp.where(sigma > 0, sigma, 0.0) * noise
@@ -111,6 +102,38 @@ def ddim_sample(
 
     (x, _), _ = jax.lax.scan(step, (x, rng), (t_stack, abt_stack, abs_stack))
     return x
+
+
+def ddim_sample(
+    model_fn: ModelFn,
+    sched: NoiseSchedule,
+    z: jax.Array,
+    shape: Tuple[int, ...],
+    steps: int = 50,
+    eta: float = 0.0,
+    rng: Optional[jax.Array] = None,
+    x_T: Optional[jax.Array] = None,
+    model_params=None,
+) -> jax.Array:
+    """Sample images of ``shape`` = (B, H, W, C) conditioned on ``z`` (B, D).
+
+    ``rng`` seeds both the initial noise (when ``x_T`` is None) and, for
+    ``eta > 0``, the per-step stochastic noise injection.
+
+    ``eta`` is a TRACED argument: only ``eta == 0`` vs ``eta > 0`` selects a
+    compiled specialization (the noise-injection branch must be static), so
+    an eta-sweep eval reuses one stochastic program instead of recompiling
+    the full 50-step trajectory per distinct float.
+
+    ``model_params``: when given, ``model_fn(model_params, x, z, t)`` is
+    called with the params as a traced jit ARGUMENT instead of a closure
+    constant — required for large models over remote-compile transports
+    (closure constants are serialized into the program body; ~600MB fails).
+    """
+    return _ddim_sample(
+        model_fn, sched, z, tuple(shape), steps, jnp.float32(eta), rng, x_T,
+        model_params, bool(eta > 0),
+    )
 
 
 @dataclass

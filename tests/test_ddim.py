@@ -174,3 +174,31 @@ def test_committed_golden_trajectory():
                                  sched, z, (2, 8, 8, 3), steps=6, rng=jax.random.PRNGKey(42)))
     golden = np.load(Path(__file__).parent / "fixtures" / "golden_ddim.npz")["out"]
     np.testing.assert_allclose(out, golden, rtol=1e-4, atol=1e-5)
+
+
+def test_eta_sweep_does_not_recompile(rng):
+    """eta is traced: an eta sweep must reuse ONE stochastic program (plus
+    one deterministic for eta=0) instead of recompiling the 50-step
+    trajectory per float (round-1 VERDICT weak #7)."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_codec_tpu.diffusion.ddim import _ddim_sample
+    from clip_codec_tpu.models import CLIPCondUNet
+
+    net = CLIPCondUNet(z_dim=8, base=8, ch_mult=(1, 2), img_ch=3)
+    z = rng.standard_normal((2, 8)).astype(np.float32)
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)), z[:1],
+                      jnp.zeros((1,), jnp.int32))
+    sched = NoiseSchedule.create(50, "linear")
+    fn = lambda x, zz, t: net.apply(params, x, zz, t)
+
+    before = _ddim_sample._cache_size()
+    outs = {}
+    for eta in (0.0, 0.1, 0.2, 0.3):
+        outs[eta] = np.asarray(ddim_sample(fn, sched, z, (2, 8, 8, 3), 4, eta,
+                                           jax.random.PRNGKey(1)))
+    added = _ddim_sample._cache_size() - before
+    assert added <= 2, f"eta sweep added {added} compiled programs"
+    # distinct eta still changes the trajectory (the value is really traced)
+    assert not np.allclose(outs[0.1], outs[0.2])
