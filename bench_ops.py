@@ -94,6 +94,55 @@ def attention():
     print(f"attn fwd+bwd bf16: xla {tr:.1f}ms  flash {tf:.1f}ms  speedup {tr/tf:.2f}x (flash: O(N) memory)")
 
 
+def resblock_fusion():
+    """The SURVEY §2.4 north-star kernel vs the XLA chain, at the hot shape.
+    Kept as an executable record of a measured NEGATIVE result (see
+    docs/performance.md): correct everywhere, but the layout-forced fp32
+    rolls make it VPU-bound — XLA's memory-bound split wins."""
+    import jax
+    from functools import partial
+
+    from clip_codec_tpu.ops.pallas_resblock import (
+        affine_silu_conv3x3,
+        affine_silu_conv3x3_reference,
+    )
+
+    key = jax.random.PRNGKey(0)
+    B, H, W, C = 16, 256, 256, 128
+    dt = jnp.bfloat16
+    x = jax.random.normal(key, (B, H, W, C), jnp.float32).astype(dt)
+    A = 0.5 + jax.random.uniform(key, (B, C), jnp.float32)
+    Bv = 0.1 * jax.random.normal(key, (B, C), jnp.float32)
+    w9 = (0.05 * jax.random.normal(key, (9, C, C), jnp.float32)).astype(dt)
+    bias = 0.1 * jax.random.normal(key, (C,), jnp.float32)
+    add = jax.random.normal(key, (B, H, W, C), jnp.float32).astype(dt)
+
+    @partial(jax.jit, static_argnames=("k", "use_pallas"))
+    def scanloop(x, A, Bv, w9, bias, add, k, use_pallas):
+        f = affine_silu_conv3x3 if use_pallas else affine_silu_conv3x3_reference
+
+        def step(c, _):
+            y, _ = f(c, A, Bv, w9, bias, add)
+            return y, None
+
+        out, _ = jax.lax.scan(step, x, None, length=k)
+        return jnp.mean(out.astype(jnp.float32))
+
+    res = {}
+    for use_pallas in (False, True):
+        ts = {}
+        for k in (6, 18):
+            float(scanloop(x, A, Bv, w9, bias, add, k, use_pallas))
+            t0 = time.time()
+            float(scanloop(x, A, Bv, w9, bias, add, k, use_pallas))
+            ts[k] = time.time() - t0
+        res[use_pallas] = (ts[18] - ts[6]) / 12 * 1e3
+    print(f"fused affine+silu+conv3x3+residual @ (16,256,256,128): "
+          f"xla {res[False]:.2f}ms  pallas {res[True]:.2f}ms  "
+          f"speedup {res[False]/res[True]:.2f}x (<1 = XLA wins; see docs/performance.md)")
+
+
 if __name__ == "__main__":
     main()
     attention()
+    resblock_fusion()

@@ -93,8 +93,6 @@ def main() -> None:
         zb = pad_rows(z, B)
         rng, srng = jax.random.split(rng)
         if mesh is not None:
-            from ..parallel import sample_sharded
-
             x = sample_sharded(mesh, model_fn, sched, zb, args.size,
                                steps=args.steps, eta=args.eta, rng=srng,
                                model_params=model_params)
