@@ -4,6 +4,7 @@ from .distributed import (
     shard_host_batch_global,
 )
 from .sample import sample_sharded, sample_spatial_sharded
+from .tp import sd_unet_tp_specs, shard_params_tp, validate_tp
 from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
@@ -27,4 +28,7 @@ __all__ = [
     "initialize_distributed",
     "replicate_global",
     "shard_host_batch_global",
+    "sd_unet_tp_specs",
+    "shard_params_tp",
+    "validate_tp",
 ]
