@@ -31,6 +31,9 @@ def main() -> None:
     ap.add_argument("--ch_mult", type=str, default="1,2,2")
     ap.add_argument("--no_bf16", action="store_true")
     ap.add_argument("--resume", action="store_true", help="continue from the latest orbax checkpoint")
+    ap.add_argument("--ema_decay", type=float, default=0.0,
+                    help="EMA of params (0=off, reference behavior; 0.9999 typical); "
+                         "also writes diffusion_unet_ema_final.msgpack")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log_every", type=int, default=0)
     ap.add_argument("--device", type=str, default=default_device())
@@ -71,6 +74,7 @@ def main() -> None:
         clip_w=args.clip_w, tv_w=args.tv_w, base=args.base,
         ch_mult=tuple(int(c) for c in args.ch_mult.split(",")),
         bf16=not args.no_bf16, seed=args.seed, log_every=args.log_every,
+        ema_decay=args.ema_decay,
     )
     mesh = None
     if args.data_parallel:

@@ -67,6 +67,10 @@ class DiffusionTrainConfig:
     clip_align_grad: bool = False  # True = fix the reference's zero-grad CLIP term
     seed: int = 0
     log_every: int = 0  # 0 = per-epoch only
+    # Exponential moving average of params (0 = off, matching the reference;
+    # 0.9999 is the usual diffusion setting). Sampling from the EMA weights
+    # is standard practice the reference lacks — kept opt-in for parity.
+    ema_decay: float = 0.0
 
 
 def make_train_step(
@@ -115,7 +119,28 @@ def make_train_step(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    return train_step
+    if cfg.ema_decay <= 0:
+        return train_step
+
+    # EMA folded into the same program (a separate per-step jit would add a
+    # full dispatch round-trip over remote transports).
+    d = jnp.float32(cfg.ema_decay)
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("clip_on",))
+    def train_step_ema(params, opt_state, ema_params, x0, z, weight, rng, clip_on, clip_params=None):
+        t_rng, n_rng = jax.random.split(rng)
+        b = x0.shape[0]
+        t = jax.random.randint(t_rng, (b,), 0, sched.timesteps, dtype=jnp.int32)
+        noise = jax.random.normal(n_rng, x0.shape, dtype=jnp.float32)
+        loss, grads = jax.value_and_grad(loss_fn)(params, x0, z, weight, t, noise, clip_on, clip_params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        ema_params = jax.tree_util.tree_map(
+            lambda e, p: e * d + p.astype(jnp.float32) * (1.0 - d), ema_params, params
+        )
+        return params, opt_state, ema_params, loss
+
+    return train_step_ema
 
 
 def train_diffusion(
@@ -210,17 +235,31 @@ def train_diffusion(
     from ..utils.checkpoint import TrainCheckpointer
 
     checkpointer = TrainCheckpointer(Path(save_dir) / "orbax")
+    use_ema = cfg.ema_decay > 0
+    # copy=True: astype(fp32) on fp32 params would alias the buffers, and the
+    # donated step would then see the same buffer twice.
+    ema_params = (
+        jax.tree_util.tree_map(lambda p: jnp.array(p, jnp.float32, copy=True), params)
+        if use_ema
+        else None
+    )
     start_epoch = 0
     if resume:
         template = {"params": params, "opt_state": opt_state, "epoch": 0}
+        if use_ema:
+            template["ema_params"] = ema_params
         restored = checkpointer.restore(template)
         if restored is not None:
             params = restored["params"]
             opt_state = restored["opt_state"]
+            if use_ema:
+                ema_params = restored["ema_params"]
             start_epoch = int(restored["epoch"])
             print(f"[train] resumed from epoch {start_epoch}")
     params = place_state(params)
     opt_state = place_state(opt_state)
+    if use_ema:
+        ema_params = place_state(ema_params)
     step_fn = make_train_step(net, sched, tx, cfg, clip_embed_fn)
     logger = TrainLogger(log_every=cfg.log_every)
     data_rng = np.random.default_rng(cfg.seed)
@@ -235,9 +274,14 @@ def train_diffusion(
         for batch in data.epoch(cfg.batch_size, data_rng):
             rng, step_rng = jax.random.split(rng)
             x0_d, z_d, w_d = place_batch(batch.x0, batch.z, batch.weight)
-            params, opt_state, loss = step_fn(
-                params, opt_state, x0_d, z_d, w_d, step_rng, clip_on, clip_params,
-            )
+            if use_ema:
+                params, opt_state, ema_params, loss = step_fn(
+                    params, opt_state, ema_params, x0_d, z_d, w_d, step_rng, clip_on, clip_params,
+                )
+            else:
+                params, opt_state, loss = step_fn(
+                    params, opt_state, x0_d, z_d, w_d, step_rng, clip_on, clip_params,
+                )
             losses.append(loss)
             weights.append(batch.weight.sum())
             step += 1
@@ -247,8 +291,13 @@ def train_diffusion(
         imgs_per_sec = sum(weights) / max(time.time() - t0, 1e-9)
         if jax.process_index() == 0:  # params are fully replicated
             save_params(save_dir / f"diffusion_unet_ep{ep + 1}.msgpack", params)
-            checkpointer.save(ep + 1, {"params": params, "opt_state": opt_state, "epoch": ep + 1})
+            state = {"params": params, "opt_state": opt_state, "epoch": ep + 1}
+            if use_ema:
+                state["ema_params"] = ema_params
+            checkpointer.save(ep + 1, state)
         logger.epoch(ep + 1, cfg.epochs, ep_loss, imgs_per_sec)
     if jax.process_index() == 0:
         save_params(final_path, params)
+        if use_ema:
+            save_params(save_dir / "diffusion_unet_ema_final.msgpack", ema_params)
     return final_path
