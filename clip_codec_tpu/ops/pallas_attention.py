@@ -31,10 +31,18 @@ NEG_INF = -1e30
 
 
 def _pick_tile(n: int, target: int = 512) -> int:
-    for t in (target, 256, 128, 64, 32, 16, 8):
+    for t in (target, 512, 256, 128, 64, 32, 16, 8):
         if n % t == 0 and t <= n:
             return t
     return n
+
+
+def _tile_target(d: int) -> int:
+    """Bigger tiles for small head dims: at D<=64 the per-tile dots are
+    lane-padded (D of 128), so the fixed per-tile softmax/rescale VPU work
+    dominates — 1024-tiles measured 1.9x over 512-tiles at (64, 4096, 40),
+    the SD-1.5 64x64 self-attention shape."""
+    return 1024 if d <= 64 else 512
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref, *, scale: float):
@@ -47,21 +55,27 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref, *,
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0].astype(jnp.float32)  # (Tq, D)
-    k = k_ref[0].astype(jnp.float32)  # (Tk, D)
-    v = v_ref[0].astype(jnp.float32)  # (Tk, D)
+    # Dots run in the INPUT dtype with fp32 accumulation: for bf16 inputs the
+    # MXU multiplies bf16 exactly into an fp32 accumulator, so upcasting the
+    # operands first would only halve the MXU rate without changing a bit of
+    # the QK^T result.
+    q = q_ref[0]  # (Tq, D)
+    k = k_ref[0]  # (Tk, D)
+    v = v_ref[0]  # (Tk, D)
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (Tq, Tk)
+    ) * scale  # (Tq, Tk) fp32
 
     m_prev = m_ref[:, 0]  # (Tq,)
     m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
     alpha = jnp.exp(m_prev - m_cur)  # rescale factor for old state
-    p = jnp.exp(s - m_cur[:, None])  # (Tq, Tk)
+    p = jnp.exp(s - m_cur[:, None])  # (Tq, Tk) fp32
     l_cur = l_ref[:, 0] * alpha + jnp.sum(p, axis=1)
+    # P·V in v's dtype (the FlashAttention-2 choice): row sums above stay
+    # fp32, and for fp32 inputs nothing changes.
     acc_ref[...] = acc_ref[...] * alpha[:, None] + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     m_ref[:, 0] = m_cur
     l_ref[:, 0] = l_cur
@@ -89,8 +103,8 @@ def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array, scale: Optional[flo
     Nk = k.shape[1]
     if scale is None:
         scale = 1.0 / float(D) ** 0.5
-    tq = _pick_tile(N)
-    tk = _pick_tile(Nk)
+    tq = _pick_tile(N, _tile_target(D))
+    tk = _pick_tile(Nk, _tile_target(D))
     grid = (BH, N // tq, Nk // tk)
     kern = functools.partial(_flash_kernel, scale=float(scale))
     out, lse = pl.pallas_call(
@@ -147,10 +161,11 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref, dq_ref, acc_r
     def _reset():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    # same dtype policy as the forward: operand-dtype dots, fp32 accumulation
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
     lse = lse_ref[0, :, 0]
     dvec = dvec_ref[0, :, 0]
 
@@ -158,7 +173,9 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref, dq_ref, acc_r
     p = jnp.exp(s - lse[:, None])
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     ds = p * (dp - dvec[:, None])
-    acc_ref[...] += jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    acc_ref[...] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
 
     @pl.when(ik == nk - 1)
     def _flush():
@@ -175,19 +192,23 @@ def _bwd_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dvec_ref, dk_ref, dv_r
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    q = q_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    k = k_ref[0]
+    v = v_ref[0]
+    q = q_ref[0]
+    do = do_ref[0]
     lse = lse_ref[0, :, 0]
     dvec = dvec_ref[0, :, 0]
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
-    p = jnp.exp(s - lse[:, None])  # (Tq, Tk)
-    dv_acc[...] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    p = jnp.exp(s - lse[:, None])  # (Tq, Tk) fp32
+    dv_acc[...] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     ds = p * (dp - dvec[:, None])  # (Tq, Tk)
-    dk_acc[...] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dk_acc[...] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
 
     @pl.when(iq == nq - 1)
     def _flush():
