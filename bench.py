@@ -60,6 +60,15 @@ def main() -> None:
     from clip_codec_tpu.diffusion import NoiseSchedule, ddim_sample
     from clip_codec_tpu.models import CLIPCondUNet
 
+    # Opt-in int8 serving mode (quantization error changes outputs, so the
+    # default headline stays the exact bf16 parity path — docs/performance.md
+    # carries both numbers + the measured quality delta).
+    int8_mode = os.environ.get("CLIP_CODEC_BENCH_INT8", "") not in ("", "0")
+    if int8_mode:
+        from clip_codec_tpu.ops import set_int8_conv
+
+        set_int8_conv(True)
+
     rng = np.random.default_rng(0)
     net = CLIPCondUNet(z_dim=512, base=128, ch_mult=(1, 2, 2), img_ch=3, dtype=jnp.bfloat16)
     z = jnp.asarray(rng.standard_normal((BATCH, 512)), jnp.float32)
@@ -117,7 +126,8 @@ def main() -> None:
     # per-step elementwise sampler math is <0.1% and ignored. The forward is
     # counted from the pre-optimization lowering (no compile, no device).
     record = {
-        "metric": f"DDIM-{STEPS} {SIZE}px images/sec/chip (CLIPCondUNet base=128)",
+        "metric": f"DDIM-{STEPS} {SIZE}px images/sec/chip (CLIPCondUNet base=128)"
+        + (" [int8 serving mode]" if int8_mode else ""),
         "value": round(imgs_per_sec, 3),
         "unit": "images/sec",
         "vs_baseline": round(imgs_per_sec / A100_REFERENCE_IMGS_PER_SEC, 2),

@@ -54,12 +54,15 @@ class ResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, h: jax.Array) -> jax.Array:
+        from ..ops.int8 import conv_module
+
+        Conv = conv_module()  # nn.Conv, or Int8Conv in int8 serving mode
         g = min(self.groups, self.features)
         y = group_norm_silu(x, self.param_group("norm1", self.features), groups=g)
-        y = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv1")(y)
+        y = Conv(self.features, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv1")(y)
         y = FiLM(self.features, dtype=self.dtype, name="film")(y, h)
         y = group_norm_silu(y, self.param_group("norm2", self.features), groups=g)
-        y = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv2")(y)
+        y = Conv(self.features, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv2")(y)
         return x + y
 
     def param_group(self, name: str, c: int):

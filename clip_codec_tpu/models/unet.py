@@ -129,7 +129,9 @@ class CLIPCondUNet(nn.Module):
             x = ResBlock(ch, dtype=self.dtype, name=f"down_{i}_rb0")(x, h)
             x = ResBlock(ch, dtype=self.dtype, name=f"down_{i}_rb1")(x, h)
             skips.append(x)
-            x = nn.Conv(
+            from ..ops.int8 import conv_module
+
+            x = conv_module()(
                 ch * m, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
                 dtype=self.dtype, name=f"down_{i}_ds",
             )(x)

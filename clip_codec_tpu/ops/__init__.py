@@ -6,6 +6,7 @@ can be swapped in where profiling shows it beats XLA's automatic fusion.
 """
 
 from .groupnorm import flash_enabled, group_norm, group_norm_silu, set_flash_attention, set_pallas
+from .int8 import int8_enabled, set_int8_conv
 
 
 def enable_pallas(enabled: bool = True) -> None:
@@ -13,4 +14,7 @@ def enable_pallas(enabled: bool = True) -> None:
     set_pallas(enabled)
 
 
-__all__ = ["group_norm", "group_norm_silu", "enable_pallas", "set_pallas", "set_flash_attention", "flash_enabled"]
+__all__ = [
+    "group_norm", "group_norm_silu", "enable_pallas", "set_pallas",
+    "set_flash_attention", "flash_enabled", "set_int8_conv", "int8_enabled",
+]

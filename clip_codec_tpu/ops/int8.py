@@ -1,0 +1,104 @@
+"""Opt-in int8 inference convolutions (v5e MXU int8 runs ~1.8x bf16).
+
+Measured at the pixel U-Net's hot shape ((16,256,256,128), 3x3): bf16
+133 TF/s vs int8 240 TOP/s on one v5e. This module makes that available as
+an **inference-only, opt-in** mode for the big U-Net convolutions:
+
+- weights: per-output-channel symmetric int8 (absmax/127), quantized
+  on the fly inside the jit (the kernel is ~300 KB — negligible);
+- activations: dynamic per-tensor symmetric int8;
+- conv accumulates int32 on the MXU, dequantizes to fp32, adds bias.
+
+The reference has no quantized inference (it autocasts bf16,
+``train/diffusion_train.py:107``); this is a beyond-parity serving mode.
+Enable with :func:`set_int8_conv` BEFORE building/jitting the model (the
+switch is read at trace time, like ``set_pallas``); the parameter tree is
+IDENTICAL to ``nn.Conv``'s, so any trained checkpoint can be served in
+int8 without conversion. Quantization error changes outputs — measure the
+PSNR delta on your store before shipping (see docs/performance.md for the
+measured delta on the tiny e2e config). round() kills gradients, so this
+is for sampling/serving only, never training.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+_USE_INT8 = False
+
+
+def set_int8_conv(enabled: bool) -> None:
+    """Route the U-Net's big convolutions through int8 (inference only)."""
+    global _USE_INT8
+    _USE_INT8 = bool(enabled)
+
+
+def int8_enabled() -> bool:
+    return _USE_INT8
+
+
+def dynamic_int8_conv(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: Optional[jax.Array],
+    strides: Tuple[int, int] = (1, 1),
+    padding: Union[str, Sequence[Tuple[int, int]]] = "SAME",
+) -> jax.Array:
+    """NHWC x HWIO int8 convolution with dynamic symmetric quantization.
+
+    Returns fp32 (caller casts); exact shapes/padding semantics of
+    ``lax.conv_general_dilated``.
+    """
+    w_scale = jnp.max(jnp.abs(kernel), axis=(0, 1, 2)) / 127.0  # (O,)
+    w_scale = jnp.maximum(w_scale, 1e-12)
+    wq = jnp.clip(jnp.round(kernel / w_scale), -127, 127).astype(jnp.int8)
+    x32 = x.astype(jnp.float32)
+    x_scale = jnp.maximum(jnp.max(jnp.abs(x32)), 1e-12) / 127.0  # scalar
+    xq = jnp.clip(jnp.round(x32 / x_scale), -127, 127).astype(jnp.int8)
+    dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(
+        xq, wq, strides, padding, dimension_numbers=dn,
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * (w_scale * x_scale)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y
+
+
+class Int8Conv(nn.Module):
+    """Drop-in for the ``nn.Conv`` configurations the U-Net uses, with the
+    SAME parameter tree (kernel (H,W,I,O) lecun_normal + bias zeros) — any
+    checkpoint trained with ``nn.Conv`` loads unchanged."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Union[str, Sequence[Tuple[int, int]]] = "SAME"
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (kh, kw, x.shape[-1], self.features), jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        y = dynamic_int8_conv(x, kernel, bias, tuple(self.strides), self.padding)
+        return y.astype(self.dtype)
+
+
+def conv_module():
+    """``Int8Conv`` when the int8 switch is on, else ``nn.Conv``. Read at
+    trace time — flip the switch before building/jitting the model."""
+    return Int8Conv if _USE_INT8 else nn.Conv

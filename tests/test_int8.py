@@ -1,0 +1,96 @@
+"""Int8 inference mode: checkpoint-compatible params, bounded quantization
+error, clean switch semantics (ops/int8.py — beyond-reference serving mode).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from clip_codec_tpu.models import CLIPCondUNet
+from clip_codec_tpu.ops import int8_enabled, set_int8_conv
+
+
+@pytest.fixture
+def int8_mode():
+    set_int8_conv(True)
+    try:
+        yield
+    finally:
+        set_int8_conv(False)
+
+
+def _tree_shapes(t):
+    return jax.tree_util.tree_map(lambda a: (a.shape, str(a.dtype)), t)
+
+
+def test_param_tree_identical_across_switch(int8_mode):
+    """A checkpoint trained with nn.Conv must load unchanged in int8 mode:
+    same tree, same shapes, same fresh-init VALUES (same rng path)."""
+    net = CLIPCondUNet(z_dim=16, base=8, ch_mult=(1, 2), img_ch=3)
+    args = (
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 16, 16, 3)), jnp.zeros((1, 16)), jnp.zeros((1,), jnp.int32),
+    )
+    p_int8 = net.init(*args)["params"]
+    set_int8_conv(False)
+    p_fp = net.init(*args)["params"]
+    assert _tree_shapes(p_int8) == _tree_shapes(p_fp)
+    for a, b in zip(jax.tree_util.tree_leaves(p_int8), jax.tree_util.tree_leaves(p_fp)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_int8_conv_error_bounded():
+    """Dynamic int8 conv vs the exact fp conv: ~1% relative error on
+    unit-scale inputs (per-channel weight scales, per-tensor act scale)."""
+    from clip_codec_tpu.ops.int8 import dynamic_int8_conv
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 32)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 32, 32)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((32,)) * 0.01, jnp.float32)
+
+    got = dynamic_int8_conv(x, w, b, (1, 1), ((1, 1), (1, 1)))
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    want = jax.lax.conv_general_dilated(x, w, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn) + b
+
+    rel = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+    assert rel < 0.02, f"relative error {rel}"
+    # strided variant (the downsample config)
+    got_s = dynamic_int8_conv(x, w, b, (2, 2), ((1, 1), (1, 1)))
+    want_s = jax.lax.conv_general_dilated(x, w, (2, 2), ((1, 1), (1, 1)), dimension_numbers=dn) + b
+    assert got_s.shape == want_s.shape
+    rel = float(jnp.linalg.norm(got_s - want_s) / jnp.linalg.norm(want_s))
+    assert rel < 0.02
+
+
+def test_unet_forward_close_in_int8(int8_mode):
+    """Whole-model check: the int8 U-Net's eps prediction stays within a few
+    percent of the fp forward on the same params."""
+    net = CLIPCondUNet(z_dim=16, base=8, ch_mult=(1, 2), img_ch=3)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
+    z = jnp.asarray(rng.standard_normal((2, 16)), jnp.float32)
+    t = jnp.asarray([3, 7], jnp.int32)
+    params = net.init(jax.random.PRNGKey(0), x, z, t)["params"]
+
+    got = net.apply({"params": params}, x, z, t)
+    set_int8_conv(False)
+    want = net.apply({"params": params}, x, z, t)
+    set_int8_conv(True)
+
+    assert bool(jnp.isfinite(got).all())
+    rel = float(jnp.linalg.norm(got - want) / (jnp.linalg.norm(want) + 1e-9))
+    assert rel < 0.08, f"relative error {rel}"
+
+
+def test_switch_restores_exact_fp():
+    assert not int8_enabled()
+    net = CLIPCondUNet(z_dim=16, base=8, ch_mult=(1, 2), img_ch=3)
+    x = jnp.zeros((1, 16, 16, 3))
+    z = jnp.zeros((1, 16))
+    t = jnp.zeros((1,), jnp.int32)
+    params = net.init(jax.random.PRNGKey(0), x, z, t)["params"]
+    a = net.apply({"params": params}, x, z, t)
+    b = net.apply({"params": params}, x, z, t)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
