@@ -36,8 +36,15 @@ def main() -> None:
                     help="U-Net base width (default: model_config.json next to --weights, else 128)")
     ap.add_argument("--ch_mult", type=str, default=None, help="U-Net channel multipliers")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 MXU serving mode (faster; changes sampled "
+                         "trajectories like a different seed — not for parity runs)")
     args = ap.parse_args()
     apply_device_flag(args.device)
+    if args.int8:
+        from ..ops import set_int8_conv
+
+        set_int8_conv(True)
 
     import jax
     import jax.numpy as jnp
