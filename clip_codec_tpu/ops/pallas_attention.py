@@ -73,7 +73,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref, *,
     p = jnp.exp(s - m_cur[:, None])  # (Tq, Tk) fp32
     l_cur = l_ref[:, 0] * alpha + jnp.sum(p, axis=1)
     # P·V in v's dtype (the FlashAttention-2 choice): row sums above stay
-    # fp32, and for fp32 inputs nothing changes.
+    # fp32, and for fp32 inputs nothing changes. A bf16-exp variant was
+    # measured at parity on chip (6.06 vs 6.16 ms for the SD 64x64
+    # transformer) — the VPU exp is not the bottleneck, so precision wins.
     acc_ref[...] = acc_ref[...] * alpha[:, None] + jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
