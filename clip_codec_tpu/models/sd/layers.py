@@ -103,13 +103,21 @@ class CrossAttention(nn.Module):
 
 
 class GEGLU(nn.Module):
+    """``hidden * gelu(gate)`` with the two projections as SEPARATE Dense
+    params (``proj_h``/``proj_g``) rather than diffusers' fused ``proj``:
+    identical math (the fused kernel's column halves, split by the weight
+    converter), but each projection can be column-sharded independently
+    under tensor parallelism — a contiguous ``jnp.split`` of one fused
+    sharded axis would put each gate half wholly on one device and force a
+    reshard of the 4x-width MLP hidden every block."""
+
     dim_out: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        h = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
-        a, g = jnp.split(h, 2, axis=-1)
+        a = nn.Dense(self.dim_out, dtype=self.dtype, name="proj_h")(x)
+        g = nn.Dense(self.dim_out, dtype=self.dtype, name="proj_g")(x)
         return a * nn.gelu(g, approximate=False)
 
 

@@ -122,6 +122,10 @@ class CLIPCondUNet(nn.Module):
             x_t.astype(self.dtype)
         )
 
+        from ..ops.int8 import conv_module
+
+        Conv = conv_module()  # nn.Conv, or Int8Conv in int8 serving mode
+
         # Encoder: skip captured after the 2 ResBlocks, before downsample.
         skips = []
         ch = self.base
@@ -129,9 +133,7 @@ class CLIPCondUNet(nn.Module):
             x = ResBlock(ch, dtype=self.dtype, name=f"down_{i}_rb0")(x, h)
             x = ResBlock(ch, dtype=self.dtype, name=f"down_{i}_rb1")(x, h)
             skips.append(x)
-            from ..ops.int8 import conv_module
-
-            x = conv_module()(
+            x = Conv(
                 ch * m, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
                 dtype=self.dtype, name=f"down_{i}_ds",
             )(x)

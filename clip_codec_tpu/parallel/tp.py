@@ -15,8 +15,10 @@ spatial-transformer block, and let GSPMD propagate:
   → each device computes ``heads / n_model`` full heads locally;
 - attention ``to_out`` kernel row-parallel ``P('model', None)`` → XLA
   inserts one ``psum`` per attention block (rides ICI);
-- GEGLU ``proj`` column-parallel (its bias is sharded with it), ``ff_out``
-  row-parallel → one ``psum`` per MLP.
+- GEGLU ``proj_h``/``proj_g`` column-parallel (biases sharded with them) —
+  the two projections are separate Dense params precisely so each half
+  shards independently and ``a * gelu(g)`` stays device-local — then
+  ``ff_out`` row-parallel → one ``psum`` per MLP.
 
 Everything else (convs, norms, time embedding) stays replicated: resnet
 convolutions scale via *spatial* sharding instead (``sample_spatial_sharded``
@@ -61,11 +63,10 @@ def _rule(path: tuple, leaf) -> P:
         # (in, out) kernel sharded on the contraction dim -> partial sums;
         # the bias is added once after the psum, so it stays replicated.
         return P(MODEL_AXIS, None) if name == "kernel" else P()
-    if parent == "ff_geglu" or (len(path) >= 3 and path[-3] == "ff_geglu"):
-        # GEGLU: Dense 'proj' inside the ff_geglu module. Column-parallel;
-        # its bias follows the sharded output dim. jnp.split(h, 2) halves an
-        # axis whose per-device extent is 2*dim_out/n -> even, so GSPMD keeps
-        # both gate halves local.
+    if parent in ("proj_h", "proj_g") and len(path) >= 3 and path[-3] == "ff_geglu":
+        # GEGLU hidden/gate projections are SEPARATE Dense params exactly so
+        # each can be column-sharded here — the elementwise a * gelu(g) is
+        # then local per device and feeds row-parallel ff_out directly.
         return P(None, MODEL_AXIS) if name == "kernel" else P(MODEL_AXIS)
     return P()
 
@@ -94,7 +95,23 @@ def shard_params_tp(mesh: Mesh, params, specs=None):
     """Place ``params`` on ``mesh`` with tensor-parallel shardings.
 
     ``specs`` defaults to :func:`sd_unet_tp_specs`. Host numpy trees are
-    sharded directly (each device receives only its slice)."""
+    sharded directly (each device receives only its slice).
+
+    Side effect: turns the Pallas flash-attention kernel off if it is on
+    (auto-on for TPU backends). The kernel reshapes heads into its batch
+    dim, which GSPMD cannot partition over head-sharded q/k/v — under TP
+    the einsum attention path must run so XLA shards the heads."""
+    from ..ops.groupnorm import flash_enabled, set_flash_attention
+
+    if mesh.shape[MODEL_AXIS] > 1 and flash_enabled():
+        import warnings
+
+        warnings.warn(
+            "tensor parallelism: disabling the Pallas flash-attention kernel "
+            "(incompatible with head-sharded GSPMD); the einsum attention "
+            "path will be used", stacklevel=2,
+        )
+        set_flash_attention(False)
     if specs is None:
         specs = sd_unet_tp_specs(params)
     return jax.tree_util.tree_map(

@@ -245,15 +245,24 @@ def train_diffusion(
     )
     start_epoch = 0
     if resume:
-        template = {"params": params, "opt_state": opt_state, "epoch": 0}
-        if use_ema:
-            template["ema_params"] = ema_params
-        restored = checkpointer.restore(template)
+        # The saved tree may or may not carry ema_params (the interrupted run
+        # could have used a different ema_decay setting); try the template
+        # matching THIS run first, then the other shape, and reconcile.
+        base_tmpl = {"params": params, "opt_state": opt_state, "epoch": 0}
+        ema_tmpl = dict(base_tmpl, ema_params=ema_params if use_ema else params)
+        try:
+            restored = checkpointer.restore(ema_tmpl if use_ema else base_tmpl)
+        except Exception:
+            restored = checkpointer.restore(base_tmpl if use_ema else ema_tmpl)
         if restored is not None:
             params = restored["params"]
             opt_state = restored["opt_state"]
             if use_ema:
-                ema_params = restored["ema_params"]
+                # checkpoint had no EMA -> restart the average from params
+                ema_params = jax.tree_util.tree_map(
+                    lambda p: jnp.array(p, jnp.float32, copy=True),
+                    restored.get("ema_params", params),
+                )
             start_epoch = int(restored["epoch"])
             print(f"[train] resumed from epoch {start_epoch}")
     params = place_state(params)

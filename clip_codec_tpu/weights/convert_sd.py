@@ -38,6 +38,18 @@ def _resnet(sd: Mapping, prefix: str) -> Dict:
     return out
 
 
+def _geglu(sd: Mapping, prefix: str) -> Dict:
+    """diffusers GEGLU ``proj`` (out = 2*dim_out, order [hidden | gate]) ->
+    our separate ``proj_h``/``proj_g`` Dense params."""
+    w = _np(sd[f"{prefix}.weight"]).T.astype(np.float32)  # (in, 2*dim_out)
+    b = _np(sd[f"{prefix}.bias"]).astype(np.float32)
+    half = w.shape[1] // 2
+    return {
+        "proj_h": {"kernel": w[:, :half], "bias": b[:half]},
+        "proj_g": {"kernel": w[:, half:], "bias": b[half:]},
+    }
+
+
 def _attn_linear(sd: Mapping, prefix: str, name: str, bias: bool) -> Dict:
     w = _np(sd[f"{prefix}.{name}.weight"]).astype(np.float32)
     if w.ndim == 4:  # legacy 1x1-conv attention weights
@@ -70,7 +82,10 @@ def _transformer2d(sd: Mapping, prefix: str) -> Dict:
             "norm3": {"scale": _gn(sd, f"{blk}.norm3")[0], "bias": _gn(sd, f"{blk}.norm3")[1]},
             "attn1": _xattn(sd, f"{blk}.attn1"),
             "attn2": _xattn(sd, f"{blk}.attn2"),
-            "ff_geglu": {"proj": linear(sd, f"{blk}.ff.net.0.proj")},
+            # diffusers fuses hidden|gate into one proj; our GEGLU keeps them
+            # as separate Dense params so TP can column-shard each half
+            # (models/sd/layers.py GEGLU docstring)
+            "ff_geglu": _geglu(sd, f"{blk}.ff.net.0.proj"),
             "ff_out": linear(sd, f"{blk}.ff.net.2"),
         },
     }

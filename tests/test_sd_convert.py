@@ -33,6 +33,10 @@ def _synthesize_torch_sd(expected: dict) -> dict:
         elif kind == "conv_w":
             kh, kw, ci, co = our_shape
             shape = (co, ci, kh, kw)
+        elif kind == "geglu_w":  # diffusers fuses hidden|gate: out = 2x ours
+            shape = (our_shape[1] * 2, our_shape[0])
+        elif kind == "geglu_b":
+            shape = (our_shape[0] * 2,)
         else:  # vectors
             shape = our_shape
         sd[torch_key] = np.zeros(shape, np.float32)
@@ -87,8 +91,10 @@ def _transformer_map(our_prefix, torch_prefix):
         f"{our_prefix}['proj_in']['bias']": (f"{torch_prefix}.proj_in.bias", "vec"),
         f"{our_prefix}['proj_out']['kernel']": (f"{torch_prefix}.proj_out.weight", "conv_w"),
         f"{our_prefix}['proj_out']['bias']": (f"{torch_prefix}.proj_out.bias", "vec"),
-        f"{our_prefix}['block_0']['ff_geglu']['proj']['kernel']": (f"{blk}.ff.net.0.proj.weight", "linear_w"),
-        f"{our_prefix}['block_0']['ff_geglu']['proj']['bias']": (f"{blk}.ff.net.0.proj.bias", "vec"),
+        f"{our_prefix}['block_0']['ff_geglu']['proj_h']['kernel']": (f"{blk}.ff.net.0.proj.weight", "geglu_w"),
+        f"{our_prefix}['block_0']['ff_geglu']['proj_h']['bias']": (f"{blk}.ff.net.0.proj.bias", "geglu_b"),
+        f"{our_prefix}['block_0']['ff_geglu']['proj_g']['kernel']": (f"{blk}.ff.net.0.proj.weight", "geglu_w"),
+        f"{our_prefix}['block_0']['ff_geglu']['proj_g']['bias']": (f"{blk}.ff.net.0.proj.bias", "geglu_b"),
         f"{our_prefix}['block_0']['ff_out']['kernel']": (f"{blk}.ff.net.2.weight", "linear_w"),
         f"{our_prefix}['block_0']['ff_out']['bias']": (f"{blk}.ff.net.2.bias", "vec"),
     }

@@ -112,3 +112,24 @@ def test_validate_tp_rejects_indivisible():
     with pytest.raises(ValueError, match="width"):
         validate_tp(bad, 2)
     validate_tp(TINY, 1)  # no-op
+
+
+def test_tp_disables_flash_kernel():
+    """shard_params_tp must turn the Pallas flash kernel off: it reshapes
+    heads into its batch dim, which GSPMD cannot partition over head-sharded
+    q/k/v (review finding)."""
+    import warnings
+
+    from clip_codec_tpu.ops import flash_enabled, set_flash_attention
+
+    _, params, _ = _init(TINY)
+    mesh = make_mesh(8, model_parallel=2)
+    set_flash_attention(True)
+    try:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            shard_params_tp(mesh, params)
+        assert not flash_enabled()
+        assert any("flash" in str(x.message) for x in w)
+    finally:
+        set_flash_attention(None)  # back to auto

@@ -167,3 +167,22 @@ def test_train_with_ema(tiny_store, tmp_path):
         float(np.abs(a - b).max()) > 0
         for a, b in zip(jax.tree_util.tree_leaves(ema2), flat_e)
     ), "EMA did not advance on resume"
+
+
+def test_resume_across_ema_setting_change(tiny_store, tmp_path):
+    """A checkpoint written with one ema_decay on/off state must stay
+    resumable when the flag flips (review finding: template mismatch)."""
+    save = tmp_path / "flip"
+    base = dict(out_size=16, batch_size=8, lr=2e-3, timesteps=50,
+                base=8, ch_mult=(1, 2), bf16=False, seed=7)
+    # EMA run -> resume WITHOUT ema
+    train_diffusion(tiny_store, config=DiffusionTrainConfig(epochs=1, ema_decay=0.5, **base), save_dir=save)
+    ckpt = train_diffusion(tiny_store, config=DiffusionTrainConfig(epochs=2, **base), save_dir=save, resume=True)
+    assert ckpt.exists()
+
+    # plain run -> resume WITH ema (EMA restarts from restored params)
+    save2 = tmp_path / "flip2"
+    train_diffusion(tiny_store, config=DiffusionTrainConfig(epochs=1, **base), save_dir=save2)
+    ckpt2 = train_diffusion(tiny_store, config=DiffusionTrainConfig(epochs=2, ema_decay=0.5, **base), save_dir=save2, resume=True)
+    assert ckpt2.exists()
+    assert (save2 / "diffusion_unet_ema_final.msgpack").exists()
