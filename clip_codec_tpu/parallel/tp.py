@@ -26,7 +26,9 @@ convolutions scale via *spatial* sharding instead (``sample_spatial_sharded``
 channel-sharded GroupNorm would add cross-device moment reductions to every
 resnet). Combining head-TP for transformers with replicated convs keeps the
 activations replicated between blocks, so the only collectives in the
-program are the two psums per transformer block.
+program are the three psums per transformer block (self-attention,
+cross-attention, MLP) — verified by an HLO collective-count test: zero
+all-gather / all-to-all (``tests/test_tp.py``).
 
 Requirements checked by :func:`validate_tp`: ``heads``, every transformer
 width and ``4*width`` (GEGLU hidden) divisible by the model-axis size.

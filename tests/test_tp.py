@@ -133,3 +133,26 @@ def test_tp_disables_flash_kernel():
         assert any("flash" in str(x.message) for x in w)
     finally:
         set_flash_attention(None)  # back to auto
+
+
+def test_tp_forward_has_no_resharding_collectives():
+    """The Megatron layout's whole point: the TP forward's only collectives
+    are psums (all-reduce) after row-parallel contractions — any all-gather /
+    all-to-all means an activation got resharded (e.g. the pre-fix fused
+    GEGLU split)."""
+    import re
+
+    net, params, (lat, t, ctx) = _init(TINY)
+    mesh = make_mesh(8, model_parallel=2)
+    tp = shard_params_tp(mesh, params)
+    ds = NamedSharding(mesh, P("data"))
+    args = [jax.device_put(a, ds) for a in (lat, t, ctx)]
+    hlo = (
+        jax.jit(lambda p, l, tt, c: net.apply({"params": p}, l, tt, c))
+        .lower(tp, *args).compile().as_text()
+    )
+    counts = {op: len(re.findall(r"\b" + op, hlo))
+              for op in ("all-reduce", "all-gather", "all-to-all")}
+    assert counts["all-reduce"] > 0, counts
+    assert counts["all-gather"] == 0, counts
+    assert counts["all-to-all"] == 0, counts
