@@ -125,9 +125,71 @@ def bench_vae_decode(B=1, latent=64):
     print(f"[sd-vae] decode {dt*1e3:.1f}ms/image-batch on device (B={B}, 512px out)", flush=True)
 
 
+def bench_adapter_train(B=4, latent=64):
+    """One SD adapter train step (eps-MSE, the dominant term): adapter fwd +
+    frozen-UNet fwd + backprop through the UNet to the adapter + AdamW.
+    Reference recipe batch is 4 (train/sd_diffusion_train.py:344-357)."""
+    import optax
+
+    from clip_codec_tpu.models.sd import SDClipAdapter
+
+    unet = SDUNet(SD15_UNET, dtype=jnp.bfloat16)
+    adapter = SDClipAdapter(n_tokens=8)
+    z = jnp.zeros((B, 512), jnp.float32)
+    lat0 = jnp.zeros((B, latent, latent, 4), jnp.float32)
+    t = jnp.zeros((B,), jnp.int32)
+
+    a_shapes = jax.eval_shape(adapter.init, jax.random.PRNGKey(0), z)["params"]
+    a_params = jax.device_put(random_params_like(a_shapes))
+    ctx_shape = jax.eval_shape(lambda p, z: adapter.apply({"params": p}, z), a_shapes, z)
+    u_shapes = jax.eval_shape(
+        unet.init, jax.random.PRNGKey(0), lat0, t, jnp.zeros(ctx_shape.shape, jnp.float32)
+    )["params"]
+    u_params = jax.device_put(random_params_like(u_shapes))
+    tx = optax.adamw(1e-4)
+    opt_state = jax.device_put(tx.init(jax.tree_util.tree_map(np.asarray, a_params)))
+
+    def loss_fn(ap, up, noise):
+        cond = adapter.apply({"params": ap}, z)
+        eps_hat = unet.apply({"params": up}, lat0 + noise, t, cond).astype(jnp.float32)
+        return jnp.mean((eps_hat - noise) ** 2)
+
+    from functools import partial
+
+    # UNet params are a jit ARGUMENT, never a closure constant: 3.4GB of
+    # captured constants would exceed the remote-compile body limit.
+    @partial(jax.jit, static_argnames=("k",))
+    def run(ap, up, opt_state, k):
+        def step(carry, i):
+            ap, opt_state = carry
+            noise = jax.random.normal(jax.random.PRNGKey(0), lat0.shape) * (i + 1.0)
+            loss, grads = jax.value_and_grad(loss_fn)(ap, up, noise)
+            updates, opt_state = tx.update(grads, opt_state, ap)
+            return (optax.apply_updates(ap, updates), opt_state), loss
+
+        (ap, opt_state), losses = jax.lax.scan(step, (ap, opt_state), jnp.arange(k, dtype=jnp.float32))
+        return jnp.mean(losses)
+
+    ts = {}
+    for k in (K1, K2):
+        assert np.isfinite(float(run(a_params, u_params, opt_state, k=k)))
+        t0 = time.time()
+        float(run(a_params, u_params, opt_state, k=k))
+        ts[k] = time.time() - t0
+    dt = (ts[K2] - ts[K1]) / (K2 - K1)
+    print(
+        f"[sd-train] adapter step (eps-MSE, frozen 860M UNet, B={B}): "
+        f"{dt*1e3:.1f} ms/step on device = {B/dt:.1f} img/s",
+        flush=True,
+    )
+
+
 if __name__ == "__main__":
     import sys
 
+    if "train" in sys.argv[1:]:
+        bench_adapter_train()
+        sys.exit(0)
     batches = [int(b) for b in sys.argv[1:]] or [1, 2, 4, 8]
     params = shapes = None
     for B in batches:
