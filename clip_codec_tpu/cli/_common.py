@@ -20,6 +20,22 @@ def default_device() -> str:
     return "tpu"
 
 
+def add_int8_flag(ap) -> None:
+    """The shared --int8 serving-mode flag (reconstruct/eval/serve)."""
+    ap.add_argument(
+        "--int8", action="store_true",
+        help="int8 MXU serving mode (faster; sampled trajectories change "
+             "like a different seed — not for parity runs)",
+    )
+
+
+def apply_int8_flag(args) -> None:
+    if getattr(args, "int8", False):
+        from ..ops import set_int8_conv
+
+        set_int8_conv(True)
+
+
 IMAGE_EXTS = {".jpg", ".jpeg", ".png", ".webp", ".bmp"}
 
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 import argparse
 from pathlib import Path
 
-from ._common import apply_device_flag, default_device
+from ._common import add_int8_flag, apply_device_flag, apply_int8_flag, default_device
 
 
 def main() -> None:
@@ -30,15 +30,10 @@ def main() -> None:
                     help="U-Net base width (default: model_config.json next to --weights, else 128)")
     ap.add_argument("--ch_mult", type=str, default=None, help="U-Net channel multipliers")
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--int8", action="store_true",
-                    help="int8 MXU serving mode (faster; changes the sampled "
-                         "trajectory like a different seed — not for parity runs)")
+    add_int8_flag(ap)
     args = ap.parse_args()
     apply_device_flag(args.device)
-    if args.int8:
-        from ..ops import set_int8_conv
-
-        set_int8_conv(True)
+    apply_int8_flag(args)
 
     import jax
     import jax.numpy as jnp

@@ -35,8 +35,10 @@ width and ``4*width`` (GEGLU hidden) divisible by the model-axis size.
 
 Note on flash attention: the Pallas kernel reshapes heads into the batch
 dim, which does not compose with GSPMD head sharding — under TP the einsum
-attention path is used (disable the kernel with
-``clip_codec_tpu.ops.set_flash_attention(False)`` when sharding a TPU run).
+attention path must run. :func:`shard_params_tp` turns the kernel off
+automatically (process-wide, with a warning); call
+``clip_codec_tpu.ops.set_flash_attention(None)`` afterwards to restore
+auto-detection for subsequent non-TP programs in the same process.
 """
 
 from __future__ import annotations
@@ -110,8 +112,9 @@ def shard_params_tp(mesh: Mesh, params, specs=None):
 
         warnings.warn(
             "tensor parallelism: disabling the Pallas flash-attention kernel "
-            "(incompatible with head-sharded GSPMD); the einsum attention "
-            "path will be used", stacklevel=2,
+            "PROCESS-WIDE (incompatible with head-sharded GSPMD); the einsum "
+            "attention path will be used. Call set_flash_attention(None) to "
+            "restore auto-detection for later non-TP programs.", stacklevel=2,
         )
         set_flash_attention(False)
     if specs is None:

@@ -106,14 +106,11 @@ def main() -> None:
     ap.add_argument("--weights", type=str, default=None)
     ap.add_argument("--host", type=str, default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8700)
-    ap.add_argument("--int8", action="store_true",
-                    help="int8 MXU serving mode (faster decompression; "
-                         "sampled trajectories differ like a seed change)")
-    args = ap.parse_args()
-    if args.int8:
-        from .ops import set_int8_conv
+    from .cli._common import add_int8_flag, apply_int8_flag
 
-        set_int8_conv(True)
+    add_int8_flag(ap)
+    args = ap.parse_args()
+    apply_int8_flag(args)
     serve(args.store_dir, args.weights, args.host, args.port).serve_forever()
 
 

@@ -252,8 +252,15 @@ def train_diffusion(
         ema_tmpl = dict(base_tmpl, ema_params=ema_params if use_ema else params)
         try:
             restored = checkpointer.restore(ema_tmpl if use_ema else base_tmpl)
-        except Exception:
-            restored = checkpointer.restore(base_tmpl if use_ema else ema_tmpl)
+        except Exception as primary_err:
+            # Likely an ema on/off shape mismatch — retry with the alternate
+            # template; if that ALSO fails the checkpoint is genuinely
+            # incompatible, so surface the ORIGINAL error (the alternate's
+            # message would blame the wrong template).
+            try:
+                restored = checkpointer.restore(base_tmpl if use_ema else ema_tmpl)
+            except Exception:
+                raise primary_err
         if restored is not None:
             params = restored["params"]
             opt_state = restored["opt_state"]

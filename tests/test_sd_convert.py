@@ -213,3 +213,31 @@ def test_sd15_vae_converter_structure():
     converted = convert_sd_vae(sd)
     got = _tree_shapes(converted)
     assert got == expected
+
+
+def test_geglu_half_order_values():
+    """Order-sensitive: diffusers' fused proj is [hidden | gate] and the FF
+    computes hidden * gelu(gate). A swapped split passes every structural
+    test (shapes match), so pin the VALUES through the converter and module."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_codec_tpu.models.sd.layers import GEGLU
+    from clip_codec_tpu.weights.convert_sd import _geglu
+
+    rng = np.random.default_rng(3)
+    dim_in, dim_out = 6, 10
+    w = rng.standard_normal((2 * dim_out, dim_in)).astype(np.float32)  # torch (out, in)
+    b = rng.standard_normal((2 * dim_out,)).astype(np.float32)
+    params = _geglu({"p.weight": w, "p.bias": b}, "p")
+    np.testing.assert_array_equal(params["proj_h"]["kernel"], w.T[:, :dim_out])
+    np.testing.assert_array_equal(params["proj_g"]["kernel"], w.T[:, dim_out:])
+    np.testing.assert_array_equal(params["proj_h"]["bias"], b[:dim_out])
+
+    x = rng.standard_normal((2, 4, dim_in)).astype(np.float32)
+    got = GEGLU(dim_out).apply({"params": params}, jnp.asarray(x))
+    # torch semantics: hidden, gate = chunk(proj(x), 2); hidden * gelu(gate)
+    h = x @ w.T + b
+    hidden, gate = h[..., :dim_out], h[..., dim_out:]
+    want = hidden * np.asarray(jax.nn.gelu(jnp.asarray(gate), approximate=False))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-6)

@@ -152,7 +152,8 @@ def test_tp_forward_has_no_resharding_collectives():
         .lower(tp, *args).compile().as_text()
     )
     counts = {op: len(re.findall(r"\b" + op, hlo))
-              for op in ("all-reduce", "all-gather", "all-to-all")}
+              for op in ("all-reduce", "all-gather", "all-to-all",
+                         "collective-permute", "reduce-scatter")}
     assert counts["all-reduce"] > 0, counts
-    assert counts["all-gather"] == 0, counts
-    assert counts["all-to-all"] == 0, counts
+    for op in ("all-gather", "all-to-all", "collective-permute", "reduce-scatter"):
+        assert counts[op] == 0, counts
