@@ -230,3 +230,39 @@ def test_two_process_dp_matches_single_process():
     assert l0 == l1 and c0 == c1  # both processes observe the same globals
     np.testing.assert_allclose(l0, oracle_loss, rtol=2e-5)
     np.testing.assert_allclose(c0, oracle_sum, rtol=2e-5)
+
+
+def test_spatial_sharded_train_step_matches_single_device(rng):
+    """The memory lever for 512px+ training (BASELINE config #5): batch over
+    `data` AND image height over `model`. GSPMD propagates the H-sharding
+    through every conv (halo exchanges) and the TV loss's spatial diffs with
+    no train-step code changes; the step must match the single-device step."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    B, S, D = 4, 16, 16
+    net = CLIPCondUNet(z_dim=D, base=8, ch_mult=(1, 2), img_ch=3)
+    sched = NoiseSchedule.create(50, "cosine")
+    tx = optax.sgd(0.1)  # see DP test: SGD so deltas reflect grad deltas
+    cfg = DiffusionTrainConfig(bf16=False, recon_w=0.05, tv_w=1e-4, clip_w=0.0)
+    step_fn = make_train_step(net, sched, tx, cfg)
+
+    x0 = rng.standard_normal((B, S, S, 3)).astype(np.float32)
+    z = rng.standard_normal((B, D)).astype(np.float32)
+    w = np.ones(B, np.float32)
+    params = net.init(jax.random.PRNGKey(0), x0[:1], z[:1], jnp.zeros((1,), jnp.int32))["params"]
+    key = jax.random.PRNGKey(5)
+
+    p1, o1, l1 = step_fn(jax.tree_util.tree_map(jnp.copy, params), tx.init(params),
+                         jnp.asarray(x0), jnp.asarray(z), jnp.asarray(w), key, False)
+
+    mesh = make_mesh(8, model_parallel=2)  # (data=4, model=2)
+    params_r = replicate(mesh, params)
+    opt_r = replicate(mesh, tx.init(params))
+    x0s = jax.device_put(x0, NamedSharding(mesh, P("data", "model", None, None)))
+    zs = jax.device_put(z, NamedSharding(mesh, P("data")))
+    ws = jax.device_put(w, NamedSharding(mesh, P("data")))
+    p8, o8, l8 = step_fn(params_r, opt_r, x0s, zs, ws, key, False)
+
+    assert np.allclose(float(l1), float(l8), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
