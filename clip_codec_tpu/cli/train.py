@@ -39,6 +39,9 @@ def main() -> None:
     ap.add_argument("--device", type=str, default=default_device())
     ap.add_argument("--clip_weights", type=str, default=None,
                     help="enable the CLIP-alignment loss term with these CLIP weights")
+    ap.add_argument("--spatial_shard", type=int, default=1,
+                    help="also shard image height over K devices (memory lever "
+                         "for 512px+; out_size must divide by K)")
     ap.add_argument("--data_parallel", action="store_true",
                     help="shard each batch over all devices (params replicated; "
                          "batch_size is global and must divide the device count)")
@@ -77,13 +80,14 @@ def main() -> None:
         ema_decay=args.ema_decay,
     )
     mesh = None
-    if args.data_parallel:
+    spatial = args.spatial_shard > 1
+    if args.data_parallel or spatial:
         from ..parallel import make_mesh
 
-        mesh = make_mesh()
+        mesh = make_mesh(model_parallel=args.spatial_shard if spatial else 1)
     ckpt = train_diffusion(args.store_dir, config=cfg, save_dir=args.save_dir,
                            clip_embed_fn=clip_embed_fn, clip_params=clip_params,
-                           resume=args.resume, mesh=mesh)
+                           resume=args.resume, mesh=mesh, spatial=spatial)
     print(f"Final checkpoint: {ckpt}")
 
 

@@ -160,6 +160,7 @@ def train_diffusion(
     resume: bool = False,
     clip_params=None,
     mesh=None,
+    spatial: bool = False,
 ) -> Path:
     """Train the diffusion decoder on all samples from the store.
 
@@ -185,6 +186,12 @@ def train_diffusion(
     global mesh; each process feeds its own slice of every batch).
     ``cfg.batch_size`` is the GLOBAL batch and must be divisible by the
     mesh's data-axis size.
+
+    ``spatial=True`` additionally shards the image HEIGHT over the mesh's
+    ``model`` axis (build the mesh with ``make_mesh(model_parallel=k)``) —
+    the memory lever for 512px+ training: activations scale as B*H*W*C and
+    GSPMD inserts the conv halo exchanges; verified equal to the
+    single-device step in ``tests/test_parallel.py``. Single-process only.
     """
     cfg = config or DiffusionTrainConfig(
         out_size=out_size, epochs=epochs, batch_size=batch_size, lr=lr,
@@ -207,10 +214,20 @@ def train_diffusion(
 
     place_batch = lambda *arrays: tuple(jnp.asarray(a) for a in arrays)
     place_state = lambda tree: tree
+    if spatial and mesh is None:
+        raise ValueError("spatial=True requires a mesh (make_mesh(model_parallel=k))")
     if mesh is not None:
         n_data = mesh.shape["data"]
         if cfg.batch_size % n_data:
             raise ValueError(f"batch_size={cfg.batch_size} not divisible by data axis {n_data}")
+        if spatial:
+            n_model = mesh.shape["model"]
+            if jax.process_count() > 1:
+                raise NotImplementedError("spatial-sharded training is single-process")
+            if n_model <= 1:
+                raise ValueError("spatial=True needs make_mesh(model_parallel=k>1)")
+            if cfg.out_size % n_model:
+                raise ValueError(f"out_size={cfg.out_size} not divisible by model axis {n_model}")
         if jax.process_count() > 1:
             from ..parallel import replicate_global, shard_host_batch_global
 
@@ -220,6 +237,16 @@ def train_diffusion(
 
             def place_batch(*arrays):  # each process contributes its slice
                 return shard_host_batch_global(mesh, *(a[lo : lo + per_proc] for a in arrays))
+        elif spatial:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import replicate, shard_batch
+
+            place_state = lambda tree: replicate(mesh, tree)
+            img_sh = NamedSharding(mesh, P("data", "model", None, None))
+
+            def place_batch(x0, z, w):  # images: batch over data, H over model
+                return (jax.device_put(x0, img_sh),) + shard_batch(mesh, z, w)
         else:
             from ..parallel import replicate, shard_batch
 

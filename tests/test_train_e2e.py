@@ -186,3 +186,22 @@ def test_resume_across_ema_setting_change(tiny_store, tmp_path):
     ckpt2 = train_diffusion(tiny_store, config=DiffusionTrainConfig(epochs=2, ema_decay=0.5, **base), save_dir=save2, resume=True)
     assert ckpt2.exists()
     assert (save2 / "diffusion_unet_ema_final.msgpack").exists()
+
+
+def test_train_diffusion_spatial(tiny_store, tmp_path):
+    """spatial=True: batch over data, height over model, full product path."""
+    from clip_codec_tpu.parallel import make_mesh
+
+    cfg = DiffusionTrainConfig(out_size=16, epochs=1, batch_size=4, timesteps=20,
+                               base=8, ch_mult=(1, 2), bf16=False)
+    ckpt = train_diffusion(tiny_store, config=cfg, save_dir=tmp_path / "sp",
+                           mesh=make_mesh(8, model_parallel=2), spatial=True)
+    assert ckpt.exists()
+
+    with pytest.raises(ValueError, match="spatial=True requires a mesh"):
+        train_diffusion(tiny_store, config=cfg, save_dir=tmp_path / "sp2", spatial=True)
+    with pytest.raises(ValueError, match="model axis"):
+        train_diffusion(tiny_store, config=DiffusionTrainConfig(
+            out_size=20, epochs=1, batch_size=4, timesteps=20, base=8,
+            ch_mult=(1, 2), bf16=False), save_dir=tmp_path / "sp3",
+            mesh=make_mesh(8, model_parallel=8), spatial=True)
