@@ -67,6 +67,13 @@ def main() -> None:
     sampler = DDIMSampler(sched, eta=args.eta)
     model_fn = lambda p, xt, zz, t: net.apply(p, xt, zz, t)
     model_params = {"params": params}
+    if args.int8:
+        # static activation scales (see ops/int8.py calibrate_unet)
+        from ..ops.int8 import calibrate_unet
+
+        model_params["quant"] = calibrate_unet(
+            net.apply, {"params": params}, args.size, store.dim
+        )
 
     mesh = None
     if args.data_parallel:

@@ -154,6 +154,22 @@ class Int8Conv(nn.Module):
         return y.astype(self.dtype)
 
 
+def calibrate_unet(net_apply, variables, size: int, z_dim: int,
+                   timesteps=(950, 500, 50), batch: int = 4, seed: int = 0):
+    """Convenience calibration for a ``CLIPCondUNet``-shaped apply
+    (``net_apply(vars, x, z, t)``): noise-scale images and L2-normalized
+    random embeddings across the timestep range — the distribution a DDIM
+    trajectory feeds the net. Returns the ``'quant'`` collection."""
+    import numpy as np
+
+    r = np.random.default_rng(seed)
+    x = jnp.asarray(r.standard_normal((batch, size, size, 3)), jnp.float32)
+    z = r.standard_normal((batch, z_dim)).astype("float32")
+    z = jnp.asarray(z / (np.linalg.norm(z, axis=1, keepdims=True) + 1e-9))
+    batches = [(x, z, jnp.full((batch,), int(t), jnp.int32)) for t in timesteps]
+    return calibrate_int8(net_apply, variables, *batches)
+
+
 def calibrate_int8(apply_fn, variables, *batches):
     """Record per-conv activation absmax for the static int8 path.
 

@@ -97,6 +97,25 @@ def test_eval_cli(trained_store, monkeypatch, capsys):
     assert all(np.isfinite(r["psnr"]) for r in recs)
 
 
+def test_eval_cli_int8(trained_store, monkeypatch, capsys):
+    """--int8 on eval runs the statically-calibrated serving path."""
+    from clip_codec_tpu.cli.eval import main
+    from clip_codec_tpu.ops import set_int8_conv
+
+    store, ckpt, tmp = trained_store
+    try:
+        _run_cli(monkeypatch, main, [
+            "--store_dir", str(store), "--weights", str(ckpt), "--size", "16",
+            "--steps", "4", "--device", "cpu", "--base", "8", "--ch_mult", "1,2",
+            "--batch_size", "4", "--int8",
+        ])
+    finally:
+        set_int8_conv(False)
+    out = capsys.readouterr().out
+    psnr_line = [ln for ln in out.splitlines() if "Average PSNR" in ln][0]
+    assert np.isfinite(float(psnr_line.split(":")[1].split()[0]))
+
+
 def test_encode_cli_gated_without_weights(trained_store, monkeypatch):
     from clip_codec_tpu.cli.encode_images import main
 
