@@ -167,7 +167,11 @@ def test_dryrun_multichip_subprocess(preinit):
         env=env,
         capture_output=True,
         text=True,
-        timeout=600,
+        # the dry run compiles a sharded train step + a TP forward from
+        # scratch on the 1-core CPU host (~150-250s uncontended; the
+        # persistent cache does not reliably serve these CPU programs);
+        # give in-suite runs real headroom
+        timeout=1500,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "8 devices OK" in out.stdout
