@@ -62,11 +62,17 @@ class ResnetBlock2D(nn.Module):
 
 class CrossAttention(nn.Module):
     """Multi-head attention; context=None -> self-attention (SD ``Attention``
-    layout: to_q/to_k/to_v without bias, to_out with bias)."""
+    layout: to_q/to_k/to_v without bias, to_out with bias).
+
+    ``flash``: None = auto (Pallas flash kernel on TPU backends), True/False
+    forces — a per-model knob so e.g. a parity model and a flash model can
+    coexist in one process (threaded down from :class:`SDUNet` /
+    :class:`~clip_codec_tpu.models.sd.vae.AutoencoderKL`)."""
 
     dim: int
     heads: int
     dtype: Dtype = jnp.float32
+    flash: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, context: Optional[jax.Array] = None) -> jax.Array:
@@ -80,18 +86,21 @@ class CrossAttention(nn.Module):
         v = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
         from ...ops.groupnorm import flash_enabled
 
-        if context is None and flash_enabled() and N >= 1024 and N % 128 == 0:
+        use_flash = flash_enabled() if self.flash is None else self.flash
+        if context is None and use_flash and N >= 1024 and N % 128 == 0:
             # Self-attention over thousands of latent pixels: the Pallas flash
             # kernel avoids materializing the (h, N, N) attention matrix
             # (~0.5 GB/image at SD 512px). Cross-attention sees <=77 context
-            # tokens - not worth a kernel.
-            from ...ops.pallas_attention import flash_attention
+            # tokens - not worth a kernel. The head-batched (B, h, N, d) form
+            # composes with Megatron head sharding (parallel/tp.py): each
+            # device runs its local heads, no resharding collectives.
+            from ...ops.pallas_attention import flash_attention_heads
 
-            qf = q.reshape(B, N, h, d).transpose(0, 2, 1, 3).reshape(B * h, N, d)
-            kf = k.reshape(B, M, h, d).transpose(0, 2, 1, 3).reshape(B * h, M, d)
-            vf = v.reshape(B, M, h, d).transpose(0, 2, 1, 3).reshape(B * h, M, d)
-            out = flash_attention(qf, kf, vf)
-            out = out.reshape(B, h, N, d).transpose(0, 2, 1, 3).reshape(B, N, self.dim)
+            qf = q.reshape(B, N, h, d).transpose(0, 2, 1, 3)
+            kf = k.reshape(B, M, h, d).transpose(0, 2, 1, 3)
+            vf = v.reshape(B, M, h, d).transpose(0, 2, 1, 3)
+            out = flash_attention_heads(qf, kf, vf)
+            out = out.transpose(0, 2, 1, 3).reshape(B, N, self.dim)
         else:
             q = q.reshape(B, N, h, d)
             k = k.reshape(B, M, h, d)
@@ -127,13 +136,14 @@ class BasicTransformerBlock(nn.Module):
     dim: int
     heads: int
     dtype: Dtype = jnp.float32
+    flash: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
-        x = x + CrossAttention(self.dim, self.heads, dtype=self.dtype, name="attn1")(
+        x = x + CrossAttention(self.dim, self.heads, dtype=self.dtype, flash=self.flash, name="attn1")(
             nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         )
-        x = x + CrossAttention(self.dim, self.heads, dtype=self.dtype, name="attn2")(
+        x = x + CrossAttention(self.dim, self.heads, dtype=self.dtype, flash=self.flash, name="attn2")(
             nn.LayerNorm(dtype=self.dtype, name="norm2")(x), context
         )
         y = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
@@ -151,6 +161,7 @@ class Transformer2D(nn.Module):
     heads: int
     depth: int = 1
     dtype: Dtype = jnp.float32
+    flash: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
@@ -161,7 +172,7 @@ class Transformer2D(nn.Module):
         h = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="proj_in")(h)
         h = h.reshape(B, H * W, self.dim)
         for i in range(self.depth):
-            h = BasicTransformerBlock(self.dim, self.heads, dtype=self.dtype, name=f"block_{i}")(h, context)
+            h = BasicTransformerBlock(self.dim, self.heads, dtype=self.dtype, flash=self.flash, name=f"block_{i}")(h, context)
         h = h.reshape(B, H, W, self.dim)
         h = nn.Conv(C, (1, 1), dtype=self.dtype, name="proj_out")(h)
         return x + h
@@ -198,6 +209,7 @@ class AttnBlockVAE(nn.Module):
 
     ch: int
     dtype: Dtype = jnp.float32
+    flash: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -211,7 +223,8 @@ class AttnBlockVAE(nn.Module):
         N = H * W
         from ...ops.groupnorm import flash_enabled
 
-        if flash_enabled() and N >= 1024 and N % 128 == 0:
+        use_flash = flash_enabled() if self.flash is None else self.flash
+        if use_flash and N >= 1024 and N % 128 == 0:
             # 512px VAE encode/decode attends over 4096 pixels in ONE head:
             # the materialized (N, N) matrix is the largest tensor in the
             # whole VAE - flash attention keeps it out of HBM.

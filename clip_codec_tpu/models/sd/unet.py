@@ -56,6 +56,10 @@ def sd_timestep_embedding(t: jax.Array, dim: int, max_period: float = 10000.0) -
 class SDUNet(nn.Module):
     cfg: SDUNetConfig = SD15_UNET
     dtype: Dtype = jnp.float32
+    # Pallas flash attention in the spatial transformers: None = auto
+    # (on for TPU backends), True/False forces. Per-model so a parity model
+    # and a flash model can coexist in one process.
+    flash: "bool | None" = None
 
     @nn.compact
     def __call__(self, latents: jax.Array, t: jax.Array, context: jax.Array) -> jax.Array:
@@ -80,7 +84,7 @@ class SDUNet(nn.Module):
             for j in range(c.layers_per_block):
                 x = ResnetBlock2D(ch, c.temb_dim, dtype=self.dtype, name=f"down_{i}_res_{j}")(x, temb)
                 if has_attn[i]:
-                    x = Transformer2D(ch, c.heads, dtype=self.dtype, name=f"down_{i}_attn_{j}")(x, context)
+                    x = Transformer2D(ch, c.heads, dtype=self.dtype, flash=self.flash, name=f"down_{i}_attn_{j}")(x, context)
                 skips.append(x)
             if i < n_blocks - 1:
                 x = Downsample2D(ch, dtype=self.dtype, name=f"down_{i}_ds")(x)
@@ -89,7 +93,7 @@ class SDUNet(nn.Module):
         # ----- mid
         ch = c.block_out[-1]
         x = ResnetBlock2D(ch, c.temb_dim, dtype=self.dtype, name="mid_res_0")(x, temb)
-        x = Transformer2D(ch, c.heads, dtype=self.dtype, name="mid_attn")(x, context)
+        x = Transformer2D(ch, c.heads, dtype=self.dtype, flash=self.flash, name="mid_attn")(x, context)
         x = ResnetBlock2D(ch, c.temb_dim, dtype=self.dtype, name="mid_res_1")(x, temb)
 
         # ----- up path (concat skips, layers_per_block+1 resnets per block)
@@ -99,7 +103,7 @@ class SDUNet(nn.Module):
                 x = jnp.concatenate([x, skips.pop()], axis=-1)
                 x = ResnetBlock2D(ch, c.temb_dim, dtype=self.dtype, name=f"up_{k}_res_{j}")(x, temb)
                 if has_attn[i]:
-                    x = Transformer2D(ch, c.heads, dtype=self.dtype, name=f"up_{k}_attn_{j}")(x, context)
+                    x = Transformer2D(ch, c.heads, dtype=self.dtype, flash=self.flash, name=f"up_{k}_attn_{j}")(x, context)
             if i > 0:
                 x = Upsample2D(ch, dtype=self.dtype, name=f"up_{k}_us")(x)
 

@@ -33,6 +33,7 @@ SD15_VAE = VAEConfig()
 class VAEEncoder(nn.Module):
     cfg: VAEConfig = SD15_VAE
     dtype: Dtype = jnp.float32
+    flash: "bool | None" = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -47,7 +48,7 @@ class VAEEncoder(nn.Module):
                 h = Downsample2D(ch, asymmetric=True, dtype=self.dtype, name=f"down_{i}_ds")(h)
         ch = c.block_out[-1]
         h = ResnetBlock2D(ch, None, dtype=self.dtype, name="mid_res_0")(h)
-        h = AttnBlockVAE(ch, dtype=self.dtype, name="mid_attn")(h)
+        h = AttnBlockVAE(ch, dtype=self.dtype, flash=self.flash, name="mid_attn")(h)
         h = ResnetBlock2D(ch, None, dtype=self.dtype, name="mid_res_1")(h)
         s = self.param("out_norm_scale", nn.initializers.ones, (ch,), jnp.float32)
         b = self.param("out_norm_bias", nn.initializers.zeros, (ch,), jnp.float32)
@@ -59,6 +60,7 @@ class VAEEncoder(nn.Module):
 class VAEDecoder(nn.Module):
     cfg: VAEConfig = SD15_VAE
     dtype: Dtype = jnp.float32
+    flash: "bool | None" = None
 
     @nn.compact
     def __call__(self, z: jax.Array) -> jax.Array:
@@ -67,7 +69,7 @@ class VAEDecoder(nn.Module):
         ch = c.block_out[-1]
         h = nn.Conv(ch, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv_in")(h)
         h = ResnetBlock2D(ch, None, dtype=self.dtype, name="mid_res_0")(h)
-        h = AttnBlockVAE(ch, dtype=self.dtype, name="mid_attn")(h)
+        h = AttnBlockVAE(ch, dtype=self.dtype, flash=self.flash, name="mid_attn")(h)
         h = ResnetBlock2D(ch, None, dtype=self.dtype, name="mid_res_1")(h)
         for k, i in enumerate(reversed(range(len(c.block_out)))):
             ch = c.block_out[i]
@@ -86,10 +88,12 @@ class AutoencoderKL(nn.Module):
 
     cfg: VAEConfig = SD15_VAE
     dtype: Dtype = jnp.float32
+    # Pallas flash attention in the mid-block: None = auto (TPU on).
+    flash: "bool | None" = None
 
     def setup(self):
-        self.encoder = VAEEncoder(self.cfg, dtype=self.dtype)
-        self.decoder = VAEDecoder(self.cfg, dtype=self.dtype)
+        self.encoder = VAEEncoder(self.cfg, dtype=self.dtype, flash=self.flash)
+        self.decoder = VAEDecoder(self.cfg, dtype=self.dtype, flash=self.flash)
 
     def encode_moments(self, x: jax.Array) -> jax.Array:
         """(B, H, W, 3) -> (B, H/8, W/8, 2*latent_ch) mean||logvar."""

@@ -282,3 +282,146 @@ def _flash_bwd(scale, res, g):
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+# ------------------------------------------- TP-composable head-batched form
+#
+# The (BH, N, D) kernel folds heads into its grid's batch axis, which GSPMD
+# cannot partition — under Megatron head-sharded q/k/v (parallel/tp.py) a
+# bare pallas_call would force an all-gather of the activations. This wrapper
+# keeps q/k/v as explicit (B, H, N, D) and registers a custom partitioning
+# rule: shardings on the batch and head axes pass straight through, each
+# device runs the unchanged kernel on its local heads, and attention stays
+# collective-free (the block's one psum remains the row-parallel ``to_out``).
+#
+# The local implementation dispatches on backend: the Mosaic kernel on TPU,
+# the einsum reference elsewhere (same math; interpret-mode Pallas uses an
+# io_callback whose ordered effect cannot lower inside a partition body, and
+# a real non-TPU deployment has no Mosaic anyway). Kernel numerics are pinned
+# separately in interpret mode (tests/test_pallas_ops.py); the partitioned
+# wrapper's equivalence and collective counts are pinned on the 8-device CPU
+# mesh (tests/test_tp.py).
+
+
+def _use_mosaic() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:  # no backend yet (abstract lowering) — be safe
+        return False
+
+
+def _heads_fwd_local(q, k, v):
+    """(B, H, N, D) local shards -> (out, lse) with lse (B, H, N) fp32."""
+    B, H, N, D = q.shape
+    M = k.shape[2]
+    if _use_mosaic():
+        out, lse = _flash_forward(
+            q.reshape(B * H, N, D), k.reshape(B * H, M, D), v.reshape(B * H, M, D),
+            with_lse=True,
+        )
+        return out.reshape(B, H, N, D), lse.reshape(B, H, N)
+    scale = 1.0 / float(D) ** 0.5
+    s = jnp.einsum(
+        "bhnd,bhmd->bhnm", q.astype(jnp.float32), k.astype(jnp.float32)
+    ) * scale
+    lse = jax.scipy.special.logsumexp(s, axis=-1)
+    p = jnp.exp(s - lse[..., None])
+    out = jnp.einsum("bhnm,bhmd->bhnd", p, v.astype(jnp.float32)).astype(q.dtype)
+    return out, lse
+
+
+def _heads_bwd_local(q, k, v, out, lse, g):
+    B, H, N, D = q.shape
+    M = k.shape[2]
+    scale = 1.0 / float(D) ** 0.5
+    if _use_mosaic():
+        r3 = lambda a, n: a.reshape(B * H, n, D)
+        dq, dk, dv = _flash_backward(
+            r3(q, N), r3(k, M), r3(v, M), r3(out, N), lse.reshape(B * H, N),
+            r3(g, N), scale,
+        )
+        return dq.reshape(B, H, N, D), dk.reshape(B, H, M, D), dv.reshape(B, H, M, D)
+    _, vjp = jax.vjp(lambda q_, k_, v_: _heads_fwd_local(q_, k_, v_)[0], q, k, v)
+    return vjp(g)
+
+
+def _heads_spec(mesh, shapes, trailing_unsharded: int):
+    """Result/operand sharding: keep the leading (batch, head) axes of the
+    first operand, replicate everything after them."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = shapes[0].sharding.spec
+    lead = tuple(spec[i] if len(spec) > i else None for i in range(2))
+    return NamedSharding(mesh, P(*lead, *((None,) * trailing_unsharded)))
+
+
+def _make_partitioned(fun, n_out_trailing):
+    """Wrap ``fun`` (all (B, H, ...) operands/results) so the SPMD
+    partitioner runs it per-shard over the batch/head axes."""
+    from jax.experimental.custom_partitioning import (
+        SdyShardingRule,
+        custom_partitioning,
+    )
+
+    wrapped = custom_partitioning(fun)
+
+    def _infer(mesh, arg_shapes, result_shape):
+        res = jax.tree_util.tree_leaves(result_shape)
+        outs = tuple(
+            _heads_spec(mesh, arg_shapes, r.ndim - 2) for r in res
+        )
+        return outs if len(outs) > 1 else outs[0]
+
+    def _partition(mesh, arg_shapes, result_shape):
+        arg_sh = tuple(
+            _heads_spec(mesh, arg_shapes, a.ndim - 2) for a in arg_shapes
+        )
+        return mesh, fun, _infer(mesh, arg_shapes, result_shape), arg_sh
+
+    # Shardy propagation rule: batch/head factors shard, token/feature
+    # factors replicate (n: q tokens, m: kv tokens, d: head dim).
+    operand_factors = tuple(("b", "h") + t for t in n_out_trailing[0])
+    result_factors = tuple(("b", "h") + t for t in n_out_trailing[1])
+    wrapped.def_partition(
+        partition=_partition,
+        infer_sharding_from_operands=_infer,
+        sharding_rule=SdyShardingRule(operand_factors, result_factors),
+    )
+    return wrapped
+
+
+_fwd4 = _make_partitioned(
+    _heads_fwd_local,
+    ((("n", "d"), ("m", "d"), ("m", "d")), (("n", "d"), ("n",))),
+)
+_bwd4 = _make_partitioned(
+    _heads_bwd_local,
+    (
+        (("n", "d"), ("m", "d"), ("m", "d"), ("n", "d"), ("n",), ("n", "d")),
+        (("n", "d"), ("m", "d"), ("m", "d")),
+    ),
+)
+
+
+@jax.custom_vjp
+def flash_attention_heads(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """Flash attention over (B, H, N, D) with default 1/sqrt(D) scaling.
+
+    Composes with GSPMD tensor parallelism: head-sharded (Megatron
+    column-parallel) q/k/v run the kernel on local heads per device with no
+    resharding collectives. Differentiable (flash-form backward)."""
+    out, _ = _fwd4(q, k, v)
+    return out
+
+
+def _heads_vjp_fwd(q, k, v):
+    out, lse = _fwd4(q, k, v)
+    return out, (q, k, v, out, lse)
+
+
+def _heads_vjp_bwd(res, g):
+    q, k, v, out, lse = res
+    return _bwd4(q, k, v, out, lse, g)
+
+
+flash_attention_heads.defvjp(_heads_vjp_fwd, _heads_vjp_bwd)

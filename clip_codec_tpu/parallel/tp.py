@@ -33,12 +33,13 @@ all-gather / all-to-all (``tests/test_tp.py``).
 Requirements checked by :func:`validate_tp`: ``heads``, every transformer
 width and ``4*width`` (GEGLU hidden) divisible by the model-axis size.
 
-Note on flash attention: the Pallas kernel reshapes heads into the batch
-dim, which does not compose with GSPMD head sharding — under TP the einsum
-attention path must run. :func:`shard_params_tp` turns the kernel off
-automatically (process-wide, with a warning); call
-``clip_codec_tpu.ops.set_flash_attention(None)`` afterwards to restore
-auto-detection for subsequent non-TP programs in the same process.
+Flash attention composes with this layout: the self-attention path uses the
+head-batched ``flash_attention_heads`` wrapper
+(:mod:`clip_codec_tpu.ops.pallas_attention`), whose custom partitioning rule
+runs the kernel per-device on its local heads — head-sharded q/k/v flow
+through with no resharding collectives, so TP keeps the kernel's speedup at
+the low-batch serving latencies TP exists for (pinned by the flash-on TP
+equivalence + HLO collective-count tests in ``tests/test_tp.py``).
 """
 
 from __future__ import annotations
@@ -89,9 +90,13 @@ def validate_tp(cfg, n_model: int) -> None:
         return
     if cfg.heads % n_model:
         raise ValueError(f"heads={cfg.heads} not divisible by model axis {n_model}")
-    n_blocks = len(cfg.block_out)
-    for i, ch in enumerate(cfg.block_out):
-        if i < n_blocks - 1 and ch % n_model:  # attention-bearing blocks only
+    # Attention-bearing widths are ALL of block_out: down blocks 0..n-2
+    # attend at their own width, and although the last down block is
+    # attention-free, the mid-block Transformer2D and the first up block
+    # attend at block_out[-1] — an indivisible final width would pass a
+    # down-only check and then shard unevenly (GSPMD padding).
+    for ch in cfg.block_out:
+        if ch % n_model:
             raise ValueError(f"block width {ch} not divisible by model axis {n_model}")
 
 
@@ -99,24 +104,9 @@ def shard_params_tp(mesh: Mesh, params, specs=None):
     """Place ``params`` on ``mesh`` with tensor-parallel shardings.
 
     ``specs`` defaults to :func:`sd_unet_tp_specs`. Host numpy trees are
-    sharded directly (each device receives only its slice).
-
-    Side effect: turns the Pallas flash-attention kernel off if it is on
-    (auto-on for TPU backends). The kernel reshapes heads into its batch
-    dim, which GSPMD cannot partition over head-sharded q/k/v — under TP
-    the einsum attention path must run so XLA shards the heads."""
-    from ..ops.groupnorm import flash_enabled, set_flash_attention
-
-    if mesh.shape[MODEL_AXIS] > 1 and flash_enabled():
-        import warnings
-
-        warnings.warn(
-            "tensor parallelism: disabling the Pallas flash-attention kernel "
-            "PROCESS-WIDE (incompatible with head-sharded GSPMD); the einsum "
-            "attention path will be used. Call set_flash_attention(None) to "
-            "restore auto-detection for later non-TP programs.", stacklevel=2,
-        )
-        set_flash_attention(False)
+    sharded directly (each device receives only its slice). No process
+    state is touched — flash attention stays available under TP via its
+    head-batched custom partitioning rule."""
     if specs is None:
         specs = sd_unet_tp_specs(params)
     return jax.tree_util.tree_map(

@@ -114,25 +114,65 @@ def test_validate_tp_rejects_indivisible():
     validate_tp(TINY, 1)  # no-op
 
 
-def test_tp_disables_flash_kernel():
-    """shard_params_tp must turn the Pallas flash kernel off: it reshapes
-    heads into its batch dim, which GSPMD cannot partition over head-sharded
-    q/k/v (review finding)."""
-    import warnings
+@pytest.mark.parametrize("n_model", [2, 4])
+def test_tp_flash_on_matches_einsum_oracle(n_model):
+    """Flash attention COMPOSES with tensor parallelism: the head-batched
+    ``flash_attention_heads`` wrapper's custom partitioning rule runs the
+    kernel on each device's local heads, so head-sharded TP keeps the kernel
+    instead of silently degrading to einsum (round-2 review). Sampled at
+    32x32 so the first block's self-attention crosses the N>=1024 flash
+    threshold; outputs must match the single-device einsum oracle."""
+    cfg = TINY4
+    net_flash = SDUNet(cfg, flash=True)
+    net_plain = SDUNet(cfg, flash=False)
+    rng = np.random.default_rng(1)
+    B, S = 4, 32
+    lat = rng.standard_normal((B, S, S, cfg.in_ch)).astype(np.float32)
+    t = np.arange(B, dtype=np.int32) * 7
+    ctx = rng.standard_normal((B, 3, cfg.cross_dim)).astype(np.float32)
+    params = net_flash.init(jax.random.PRNGKey(0), lat, t, ctx)["params"]
+    want = np.asarray(net_plain.apply({"params": params}, lat, t, ctx))
 
-    from clip_codec_tpu.ops import flash_enabled, set_flash_attention
+    mesh = make_mesh(8, model_parallel=n_model)
+    tp_params = shard_params_tp(mesh, params)
+    ds = NamedSharding(mesh, P("data"))
+    args = [jax.device_put(a, ds) for a in (lat, t, ctx)]
+    got = np.asarray(
+        jax.jit(lambda p, l, tt, c: net_flash.apply({"params": p}, l, tt, c))(
+            tp_params, *args
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
 
-    _, params, _ = _init(TINY)
+
+def test_tp_flash_on_has_no_resharding_collectives():
+    """With flash ON under TP, the attention stays device-local inside the
+    partitioned kernel: still psums only (the row-parallel to_out/ff_out
+    all-reduces), zero all-gather/all-to-all."""
+    import re
+
+    cfg = TINY4
+    net = SDUNet(cfg, flash=True)
+    rng = np.random.default_rng(1)
+    B, S = 4, 32
+    lat = rng.standard_normal((B, S, S, cfg.in_ch)).astype(np.float32)
+    t = np.arange(B, dtype=np.int32) * 7
+    ctx = rng.standard_normal((B, 3, cfg.cross_dim)).astype(np.float32)
+    params = net.init(jax.random.PRNGKey(0), lat, t, ctx)["params"]
     mesh = make_mesh(8, model_parallel=2)
-    set_flash_attention(True)
-    try:
-        with warnings.catch_warnings(record=True) as w:
-            warnings.simplefilter("always")
-            shard_params_tp(mesh, params)
-        assert not flash_enabled()
-        assert any("flash" in str(x.message) for x in w)
-    finally:
-        set_flash_attention(None)  # back to auto
+    tp = shard_params_tp(mesh, params)
+    ds = NamedSharding(mesh, P("data"))
+    args = [jax.device_put(a, ds) for a in (lat, t, ctx)]
+    hlo = (
+        jax.jit(lambda p, l, tt, c: net.apply({"params": p}, l, tt, c))
+        .lower(tp, *args).compile().as_text()
+    )
+    counts = {op: len(re.findall(r"\b" + op, hlo))
+              for op in ("all-reduce", "all-gather", "all-to-all",
+                         "collective-permute", "reduce-scatter")}
+    assert counts["all-reduce"] > 0, counts
+    for op in ("all-gather", "all-to-all", "collective-permute", "reduce-scatter"):
+        assert counts[op] == 0, counts
 
 
 def test_tp_forward_has_no_resharding_collectives():
