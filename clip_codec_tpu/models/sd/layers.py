@@ -227,10 +227,14 @@ class AttnBlockVAE(nn.Module):
         if use_flash and N >= 1024 and N % 128 == 0:
             # 512px VAE encode/decode attends over 4096 pixels in ONE head:
             # the materialized (N, N) matrix is the largest tensor in the
-            # whole VAE - flash attention keeps it out of HBM.
-            from ...ops.pallas_attention import flash_attention
+            # whole VAE - flash attention keeps it out of HBM. The
+            # head-batched wrapper (H=1) dispatches by backend, so a forced
+            # flash=True stays runnable off-TPU.
+            from ...ops.pallas_attention import flash_attention_heads
 
-            out = flash_attention(q, k, v)
+            out = flash_attention_heads(
+                q[:, None], k[:, None], v[:, None]
+            )[:, 0]
         else:
             logits = jnp.einsum("bqd,bkd->bqk", q, k) / jnp.sqrt(self.ch).astype(q.dtype)
             attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
