@@ -61,7 +61,8 @@ def main() -> None:
     ch_mult = (tuple(int(c) for c in args.ch_mult.split(","))
                if args.ch_mult is not None else (mc.ch_mult if mc else (1, 2, 2)))
     params = load_unet_checkpoint(args.weights, ch_mult)
-    net = CLIPCondUNet(z_dim=store.dim, base=base, ch_mult=ch_mult, img_ch=3, dtype=jnp.bfloat16)
+    net = CLIPCondUNet(z_dim=store.dim, base=base, ch_mult=ch_mult, img_ch=3,
+                       dtype=jnp.bfloat16, int8=True if args.int8 else None)
     sched = (NoiseSchedule.create(mc.timesteps, mc.schedule) if mc
              else NoiseSchedule.create(1000, "cosine"))
     sampler = DDIMSampler(sched, eta=args.eta)
@@ -72,7 +73,8 @@ def main() -> None:
         from ..ops.int8 import calibrate_unet
 
         model_params["quant"] = calibrate_unet(
-            net.apply, {"params": params}, args.size, store.dim
+            net.apply, {"params": params}, args.size, store.dim,
+            timesteps=sched.timesteps,
         )
 
     mesh = None

@@ -52,7 +52,8 @@ def main() -> None:
                if args.ch_mult is not None else (mc.ch_mult if mc else (1, 2, 2)))
     z = jnp.asarray(decode_embedding(args.bitstream, args.store_dir))
     params = load_unet_checkpoint(args.weights, ch_mult)
-    net = CLIPCondUNet(z_dim=z.shape[1], base=base, ch_mult=ch_mult, img_ch=3, dtype=jnp.bfloat16)
+    net = CLIPCondUNet(z_dim=z.shape[1], base=base, ch_mult=ch_mult, img_ch=3,
+                       dtype=jnp.bfloat16, int8=True if args.int8 else None)
     sched = (NoiseSchedule.create(mc.timesteps, mc.schedule) if mc
              else NoiseSchedule.create(1000, "cosine"))
     sampler = DDIMSampler(sched, eta=args.eta)
@@ -63,7 +64,8 @@ def main() -> None:
         from ..ops.int8 import calibrate_unet
 
         model_params["quant"] = calibrate_unet(
-            net.apply, {"params": params}, args.size, z.shape[1]
+            net.apply, {"params": params}, args.size, z.shape[1],
+            timesteps=sched.timesteps,
         )
     x = sampler.sample(
         lambda p, xt, zz, t: net.apply(p, xt, zz, t),

@@ -51,12 +51,13 @@ class ResBlock(nn.Module):
     features: int
     groups: int = 8
     dtype: Dtype = jnp.float32
+    int8: "bool | None" = None  # None = process default (ops.set_int8_conv)
 
     @nn.compact
     def __call__(self, x: jax.Array, h: jax.Array) -> jax.Array:
         from ..ops.int8 import conv_module
 
-        Conv = conv_module()  # nn.Conv, or Int8Conv in int8 serving mode
+        Conv = conv_module(self.int8)  # nn.Conv, or Int8Conv in int8 serving mode
         g = min(self.groups, self.features)
         y = group_norm_silu(x, self.param_group("norm1", self.features), groups=g)
         y = Conv(self.features, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv1")(y)

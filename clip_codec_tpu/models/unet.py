@@ -97,6 +97,10 @@ class CLIPCondUNet(nn.Module):
     time_dim: int = 256
     img_ch: int = 3
     dtype: Dtype = jnp.float32
+    # int8 MXU serving convolutions: None = process default
+    # (ops.set_int8_conv), True/False pins this model — so an int8 server
+    # and a bf16 parity model can coexist in one process.
+    int8: "bool | None" = None
     # Upsamplers as phase-decomposed dense convs (identical math/params).
     # Measured on chip (bench_profile.py): the decomposition LOSES on the
     # full DDIM path (9.2 vs 11.5 img/s — the phase interleave adds a full
@@ -124,14 +128,14 @@ class CLIPCondUNet(nn.Module):
 
         from ..ops.int8 import conv_module
 
-        Conv = conv_module()  # nn.Conv, or Int8Conv in int8 serving mode
+        Conv = conv_module(self.int8)  # nn.Conv, or Int8Conv in int8 serving mode
 
         # Encoder: skip captured after the 2 ResBlocks, before downsample.
         skips = []
         ch = self.base
         for i, m in enumerate(self.ch_mult):
-            x = ResBlock(ch, dtype=self.dtype, name=f"down_{i}_rb0")(x, h)
-            x = ResBlock(ch, dtype=self.dtype, name=f"down_{i}_rb1")(x, h)
+            x = ResBlock(ch, dtype=self.dtype, int8=self.int8, name=f"down_{i}_rb0")(x, h)
+            x = ResBlock(ch, dtype=self.dtype, int8=self.int8, name=f"down_{i}_rb1")(x, h)
             skips.append(x)
             x = Conv(
                 ch * m, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
@@ -139,13 +143,13 @@ class CLIPCondUNet(nn.Module):
             )(x)
             ch = ch * m
 
-        x = ResBlock(ch, dtype=self.dtype, name="mid1")(x, h)
-        x = ResBlock(ch, dtype=self.dtype, name="mid2")(x, h)
+        x = ResBlock(ch, dtype=self.dtype, int8=self.int8, name="mid1")(x, h)
+        x = ResBlock(ch, dtype=self.dtype, int8=self.int8, name="mid2")(x, h)
 
         # Decoder with additive skips after each up-stage.
         for j, m in enumerate(reversed(self.ch_mult)):
-            x = ResBlock(ch, dtype=self.dtype, name=f"up_{j}_rb0")(x, h)
-            x = ResBlock(ch, dtype=self.dtype, name=f"up_{j}_rb1")(x, h)
+            x = ResBlock(ch, dtype=self.dtype, int8=self.int8, name=f"up_{j}_rb0")(x, h)
+            x = ResBlock(ch, dtype=self.dtype, int8=self.int8, name=f"up_{j}_rb1")(x, h)
             # padding (2,2) + transpose_kernel=True == torch ConvTranspose2d
             # (k=4, s=2, p=1): exact 2x upsample, numerically verified.
             x = ConvTranspose4x2(

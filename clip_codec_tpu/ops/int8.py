@@ -15,13 +15,15 @@ an **inference-only, opt-in** mode for the big U-Net convolutions:
 
 The reference has no quantized inference (it autocasts bf16,
 ``train/diffusion_train.py:107``); this is a beyond-parity serving mode.
-Enable with :func:`set_int8_conv` BEFORE building/jitting the model (the
-switch is read at trace time, like ``set_pallas``); the parameter tree is
-IDENTICAL to ``nn.Conv``'s, so any trained checkpoint can be served in
-int8 without conversion. Quantization error changes outputs — measure the
-PSNR delta on your store before shipping (see docs/performance.md for the
-measured delta on the tiny e2e config). round() kills gradients, so this
-is for sampling/serving only, never training.
+Select per model via ``CLIPCondUNet(int8=True)`` (the parameter tree is
+IDENTICAL to ``nn.Conv``'s, so any trained checkpoint serves in int8
+without conversion); :func:`set_int8_conv` flips the process default that
+``int8=None`` models read at trace time, so an int8 server and a bf16
+parity model can coexist in one process by constructing each explicitly.
+Quantization error changes outputs — measure the PSNR delta on your store
+before shipping (see docs/performance.md for the measured delta at
+flagship scale). round() kills gradients, so this is for sampling/serving
+only, never training.
 """
 
 from __future__ import annotations
@@ -33,11 +35,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 _USE_INT8 = False
-_CALIBRATING = False
 
 
 def set_int8_conv(enabled: bool) -> None:
-    """Route the U-Net's big convolutions through int8 (inference only)."""
+    """Set the process default for models built with ``int8=None``
+    (read at trace time). Models with an explicit ``int8=`` ignore this."""
     global _USE_INT8
     _USE_INT8 = bool(enabled)
 
@@ -132,9 +134,11 @@ class Int8Conv(nn.Module):
             if self.use_bias
             else None
         )
-        if _CALIBRATING:
-            # exact fp conv; record the running absmax into the mutable
-            # 'quant' collection (apply with mutable=['quant'])
+        if self.is_mutable_collection("quant"):
+            # Calibration pass (apply with mutable=['quant'], as
+            # :func:`calibrate_int8` does): exact fp conv; record the
+            # running absmax into the mutable 'quant' collection. No global
+            # flag — the apply itself declares the mode.
             qv = self.variable("quant", "x_absmax", lambda: jnp.zeros((), jnp.float32))
             qv.value = jnp.maximum(qv.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
             dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
@@ -155,18 +159,28 @@ class Int8Conv(nn.Module):
 
 
 def calibrate_unet(net_apply, variables, size: int, z_dim: int,
-                   timesteps=(950, 500, 50), batch: int = 4, seed: int = 0):
+                   timesteps=1000, batch: int = 4, seed: int = 0):
     """Convenience calibration for a ``CLIPCondUNet``-shaped apply
     (``net_apply(vars, x, z, t)``): noise-scale images and L2-normalized
     random embeddings across the timestep range — the distribution a DDIM
-    trajectory feeds the net. Returns the ``'quant'`` collection."""
+    trajectory feeds the net. Returns the ``'quant'`` collection.
+
+    ``timesteps``: the model's SCHEDULE LENGTH (int) — calibration t values
+    are taken at the 95%/50%/5% points of it, so short-schedule models are
+    calibrated inside their real sampling range — or an explicit sequence
+    of t values."""
     import numpy as np
 
+    if isinstance(timesteps, int):
+        t_values = [max(0, min(timesteps - 1, int(round(f * timesteps))))
+                    for f in (0.95, 0.5, 0.05)]
+    else:
+        t_values = [int(t) for t in timesteps]
     r = np.random.default_rng(seed)
     x = jnp.asarray(r.standard_normal((batch, size, size, 3)), jnp.float32)
     z = r.standard_normal((batch, z_dim)).astype("float32")
     z = jnp.asarray(z / (np.linalg.norm(z, axis=1, keepdims=True) + 1e-9))
-    batches = [(x, z, jnp.full((batch,), int(t), jnp.int32)) for t in timesteps]
+    batches = [(x, z, jnp.full((batch,), int(t), jnp.int32)) for t in t_values]
     return calibrate_int8(net_apply, variables, *batches)
 
 
@@ -174,30 +188,32 @@ def calibrate_int8(apply_fn, variables, *batches):
     """Record per-conv activation absmax for the static int8 path.
 
     ``apply_fn(variables, *one_batch, mutable=['quant'])`` must be the
-    model's apply; runs every batch in fp (int8 mode must already be ON so
-    the Int8Conv modules are in the trace) and returns the 'quant'
-    collection to merge into inference variables:
+    apply of a model whose trace contains :class:`Int8Conv` modules
+    (``int8=True`` or the process default on); runs every batch in fp and
+    returns the 'quant' collection to merge into inference variables:
 
-        set_int8_conv(True)
+        net = CLIPCondUNet(..., int8=True)
         quant = calibrate_int8(net.apply, {'params': params}, (x1, z1, t1), ...)
         y = net.apply({'params': params, 'quant': quant}, x, z, t)
     """
-    global _CALIBRATING
-    if not _USE_INT8:
-        raise RuntimeError("enable int8 first: set_int8_conv(True)")
+    if not batches:
+        raise RuntimeError("calibration needs at least one batch")
     quant = {}
-    _CALIBRATING = True
-    try:
-        for batch in batches:
-            _, upd = apply_fn({**variables, "quant": quant} if quant else variables,
-                              *batch, mutable=["quant"])
-            quant = upd["quant"]
-    finally:
-        _CALIBRATING = False
+    for batch in batches:
+        _, upd = apply_fn({**variables, "quant": quant} if quant else variables,
+                          *batch, mutable=["quant"])
+        quant = upd.get("quant", {})
+        if not quant:
+            raise RuntimeError(
+                "calibration recorded nothing — the model has no Int8Conv in "
+                "its trace; build it with int8=True (or set_int8_conv(True) "
+                "first)"
+            )
     return quant
 
 
-def conv_module():
-    """``Int8Conv`` when the int8 switch is on, else ``nn.Conv``. Read at
-    trace time — flip the switch before building/jitting the model."""
-    return Int8Conv if _USE_INT8 else nn.Conv
+def conv_module(int8: Optional[bool] = None):
+    """``Int8Conv`` or ``nn.Conv``. ``int8=None`` (the default) reads the
+    process switch at trace time; an explicit True/False pins the model."""
+    use = _USE_INT8 if int8 is None else int8
+    return Int8Conv if use else nn.Conv

@@ -132,8 +132,67 @@ def test_static_calibration(int8_mode):
     assert rel < 0.15, rel
 
 
-def test_calibrate_requires_int8_mode():
-    from clip_codec_tpu.ops import calibrate_int8
+def test_explicit_int8_field_coexists_in_one_process():
+    """Round-2 review: a bf16/fp parity model and an int8 serving model must
+    coexist in one process with no ordering ritual. The explicit int8=
+    module field pins each model; the process switch only feeds int8=None
+    defaults."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
+    z = jnp.asarray(rng.standard_normal((2, 16)), jnp.float32)
+    t = jnp.asarray([5, 9], jnp.int32)
+    kw = dict(z_dim=16, base=8, ch_mult=(1, 2), img_ch=3)
+    net_fp = CLIPCondUNet(**kw, int8=False)
+    net_q = CLIPCondUNet(**kw, int8=True)
+    params = net_fp.init(jax.random.PRNGKey(0), x, z, t)["params"]
 
-    with pytest.raises(RuntimeError, match="set_int8_conv"):
-        calibrate_int8(None, {})
+    # Oracles built the legacy way, via the process switch.
+    want_fp = np.asarray(CLIPCondUNet(**kw).apply({"params": params}, x, z, t))
+    set_int8_conv(True)
+    try:
+        want_q = np.asarray(CLIPCondUNet(**kw).apply({"params": params}, x, z, t))
+    finally:
+        set_int8_conv(False)
+    assert np.abs(want_fp - want_q).max() > 0  # int8 really changes outputs
+
+    # Interleaved applies of the two pinned models, switch OFF throughout:
+    # each must match its oracle bit-for-bit.
+    got_q1 = np.asarray(net_q.apply({"params": params}, x, z, t))
+    got_fp = np.asarray(net_fp.apply({"params": params}, x, z, t))
+    got_q2 = np.asarray(net_q.apply({"params": params}, x, z, t))
+    np.testing.assert_array_equal(got_fp, want_fp)
+    np.testing.assert_array_equal(got_q1, want_q)
+    np.testing.assert_array_equal(got_q2, want_q)
+
+
+def test_calibrate_unet_scales_to_schedule_length():
+    """Advisor r2: calibration t values follow the model's schedule length
+    (95%/50%/5% points) instead of hard-coded 1000-schedule values."""
+    from clip_codec_tpu.ops.int8 import calibrate_unet
+
+    seen = []
+    net = CLIPCondUNet(z_dim=8, base=8, ch_mult=(1,), img_ch=3, int8=True)
+    params = net.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)), jnp.zeros((1, 8)),
+        jnp.zeros((1,), jnp.int32),
+    )["params"]
+
+    def spy_apply(variables, x, z, t, mutable=None):
+        seen.append(int(np.asarray(t)[0]))
+        return net.apply(variables, x, z, t, mutable=mutable)
+
+    quant = calibrate_unet(spy_apply, {"params": params}, 8, 8, timesteps=50, batch=1)
+    assert seen == [48, 25, 2]  # within the 50-step schedule
+    assert jax.tree_util.tree_leaves(quant), "no scales recorded"
+
+
+def test_calibrate_without_int8_model_raises():
+    net = CLIPCondUNet(z_dim=8, base=8, ch_mult=(1,), img_ch=3, int8=False)
+    params = net.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)), jnp.zeros((1, 8)),
+        jnp.zeros((1,), jnp.int32),
+    )["params"]
+    from clip_codec_tpu.ops.int8 import calibrate_unet
+
+    with pytest.raises(RuntimeError, match="int8"):
+        calibrate_unet(net.apply, {"params": params}, 8, 8, timesteps=50, batch=1)
