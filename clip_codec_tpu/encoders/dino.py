@@ -91,6 +91,22 @@ def preprocess_dino(img_m01: np.ndarray, image_size: int = 518) -> np.ndarray:
         return np.asarray((x - IMAGENET_MEAN) / IMAGENET_STD)
 
 
+def embed_m11_images_dino(model: "DinoV2", params, images_m11, image_size: int = 518):
+    """In-graph DINO-alignment input path for the SD trainer (reference
+    ``train/sd_diffusion_train.py:247-251``): ``[-1,1]`` pixels -> [0,1],
+    bilinear resize to the model's input size (align_corners=False, no
+    antialias — torch F.interpolate semantics), ImageNet normalize, embed.
+    Differentiable; ``params`` ride the jit as an argument."""
+    import jax
+    import jax.numpy as jnp
+
+    x = (jnp.clip(images_m11, -1.0, 1.0) + 1.0) / 2.0
+    B = x.shape[0]
+    x = jax.image.resize(x, (B, image_size, image_size, 3), method="bilinear", antialias=False)
+    x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+    return model.apply(params, x).astype(jnp.float32)
+
+
 def convert_dino_hf(sd: Mapping, depth: int = 12) -> Dict:
     """HuggingFace ``Dinov2Model`` state_dict -> params for :class:`DinoV2`."""
     from ..weights.convert import _np, linear

@@ -12,23 +12,37 @@ deliberately and kept visible here:
   enter the optimizer and get no gradients;
 * loss = eps-MSE + recon_w * MSE(x0-decode, gt-latent-decode) — MSE, matching
   the reference's code (``:237``) over its docstring's claimed L1 —
-  + tv_w * TV + dino_w * (1 - cos(DINO(x̂), DINO(gt))) when a DINO encoder is
+  + tv_w * TV + clip_w * (1 - cos(DINO(x̂), DINO(gt))) when a DINO encoder is
   supplied + perc_w * LPIPS(x̂, gt) every ``perc_every`` steps when LPIPS
   weights are available (``perc_w`` actually honored);
+* ``clip_w`` keeps the reference's (misleading) name: its "CLIP alignment"
+  branch actually embeds with DINOv2 (``:168-179,246-254``) and compares
+  against the raw store vector ``z`` — a dimension mismatch for 512-d CLIP
+  stores. We embed the GROUND-TRUTH image with the same DINO tower instead,
+  which is well-defined for every store dim;
 * bookkeeping is correct: epoch means over defined values only.
+
+At-scale rules (round-2 review): the frozen UNet/VAE/DINO/LPIPS parameters
+enter the jitted step as ARGUMENTS, never closure constants — the 860M SD
+UNet (~3.4 GB fp32) serialized into the program body exceeds the remote
+compile transport limit (CLAUDE.md), and a regression test pins the lowered
+step to carry no multi-MB constants. DP (``mesh=``), orbax full-state
+resume (``resume=True``) and adapter EMA mirror the pixel trainer.
 
 Per-epoch artifact keeps the reference's adapter-only shape: a msgpack of
 just the adapter params, loadable by ``cli/reconstruct_sd_diffusion``.
+Run as a module for the reference's CLI surface
+(``python -m clip_codec_tpu.train.sd_diffusion_train --store_dir ...``,
+reference ``train/sd_diffusion_train.py:342-373``).
 """
 
 from __future__ import annotations
 
-import json
 import time
 from dataclasses import dataclass
 from functools import partial
 from pathlib import Path
-from typing import Callable, Optional, Tuple, Union
+from typing import Callable, Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -47,19 +61,26 @@ PathLike = Union[str, Path]
 
 @dataclass
 class SDTrainConfig:
-    """Mirrors the reference kwargs (``train/sd_diffusion_train.py:91-120``)."""
+    """Mirrors the reference kwargs (``train/sd_diffusion_train.py:91-104``):
+    ``out_size`` is the GT-image resolution for the pixel-space loss terms,
+    ``clip_w`` weights the DINO-alignment term (the reference's name for
+    it). TPU-native knobs (seed/log_every/ema_decay) at the end."""
 
+    out_size: int = 256
     epochs: int = 20
     batch_size: int = 4
     lr: float = 1e-4
     timesteps: int = 1000
-    recon_w: float = 0.1
+    recon_w: float = 0.05
+    clip_w: float = 0.1
+    perc_w: float = 0.1
     tv_w: float = 1e-4
-    dino_w: float = 0.1
-    perc_w: float = 0.05
     perc_every: int = 10
     seed: int = 0
     log_every: int = 0
+    # EMA of the ADAPTER params (0 = off, reference behavior); also writes
+    # sd_adapter_ema_final.msgpack.
+    ema_decay: float = 0.0
 
 
 class SDStoreData:
@@ -89,6 +110,107 @@ class SDStoreData:
         return self.z[idx], np.stack(lats), np.stack(imgs)
 
 
+def make_sd_train_step(
+    decoder: StableDiffusionDecoder,
+    tx: optax.GradientTransformation,
+    cfg: SDTrainConfig,
+    dino_embed_fn: Optional[Callable] = None,
+    use_lpips: bool = False,
+):
+    """Build the jitted adapter train step.
+
+    Signature: ``step(a_params, opt_state, frozen, z, lat0, gt_img, weight,
+    rng, perc_on)`` (plus ``ema_params`` after ``opt_state`` when
+    ``cfg.ema_decay > 0``). ``frozen`` is a dict of the NON-trained
+    parameter trees — ``{'unet': ..., 'vae': ...}`` plus ``'dino'`` /
+    ``'lpips'`` when those losses are on — passed as a jit ARGUMENT every
+    step: closure-capturing the 860M UNet would serialize ~3.4 GB into the
+    program body (remote-compile limit, CLAUDE.md; the same rule
+    ``make_train_step`` follows for CLIP params).
+
+    ``dino_embed_fn(dino_params, images_m11)`` embeds [-1,1] images.
+    """
+    unet_apply = decoder.unet.apply
+    vae_apply = decoder.vae.apply
+    adapter_apply = decoder.adapter.apply
+    scaling = decoder.scaling_factor
+    ac = jnp.asarray(sd_alphas_cumprod(cfg.timesteps))  # (T,) fp32, ~4 KB
+
+    def loss_fn(a_params, frozen, z, lat0, gt_img, t, noise, weight, perc_on):
+        sa = jnp.sqrt(ac[t])[:, None, None, None]
+        sb = jnp.sqrt(1.0 - ac[t])[:, None, None, None]
+        lat_t = sa * lat0 + sb * noise
+        cond = adapter_apply({"params": a_params}, z)
+        eps_hat = unet_apply({"params": frozen["unet"]}, lat_t, t, cond).astype(jnp.float32)
+        per = jnp.mean((eps_hat - noise) ** 2, axis=(1, 2, 3))
+        dino_on = "dino" in frozen and dino_embed_fn is not None and cfg.clip_w > 0
+        lpips_on = perc_on and "lpips" in frozen and use_lpips and cfg.perc_w > 0
+        need_decode = cfg.recon_w > 0 or cfg.tv_w > 0 or dino_on or lpips_on
+        if need_decode:
+            lat0_hat = (lat_t - sb * eps_hat) / sa
+            x_hat = vae_apply(
+                {"params": frozen["vae"]}, lat0_hat / scaling, method=AutoencoderKL.decode
+            ).astype(jnp.float32)
+            if cfg.recon_w > 0:
+                x_gt = vae_apply(
+                    {"params": frozen["vae"]}, lat0 / scaling, method=AutoencoderKL.decode
+                ).astype(jnp.float32)
+                per = per + cfg.recon_w * jnp.mean((x_hat - x_gt) ** 2, axis=(1, 2, 3))
+            if cfg.tv_w > 0:
+                per = per + cfg.tv_w * total_variation(x_hat)
+            if dino_on:
+                ya = dino_embed_fn(frozen["dino"], x_hat)
+                yb = jax.lax.stop_gradient(dino_embed_fn(frozen["dino"], gt_img))
+                cos = jnp.sum(ya * yb, axis=-1) / (
+                    jnp.linalg.norm(ya, axis=-1) * jnp.linalg.norm(yb, axis=-1) + 1e-8
+                )
+                per = per + cfg.clip_w * (1.0 - cos)
+            if lpips_on:
+                # perc_on is STATIC: the VGG16 forward+VJP is only traced into
+                # the every-perc_every-steps specialization instead of running
+                # (and being zeroed) on every step.
+                from ..eval.lpips import lpips_forward
+
+                gt_small = jax.image.resize(gt_img, x_hat.shape, method="bilinear", antialias=False)
+                per = per + cfg.perc_w * lpips_forward(frozen["lpips"], x_hat, gt_small)
+        return weighted_mean(per, weight)
+
+    @partial(jax.jit, donate_argnums=(0, 1), static_argnames=("perc_on",))
+    def step_fn(a_params, opt_state, frozen, z, lat0, gt_img, weight, rng, perc_on):
+        t_rng, n_rng = jax.random.split(rng)
+        b = lat0.shape[0]
+        t = jax.random.randint(t_rng, (b,), 0, cfg.timesteps, dtype=jnp.int32)
+        noise = jax.random.normal(n_rng, lat0.shape, dtype=jnp.float32)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            a_params, frozen, z, lat0, gt_img, t, noise, weight, perc_on
+        )
+        updates, opt_state = tx.update(grads, opt_state, a_params)
+        return optax.apply_updates(a_params, updates), opt_state, loss
+
+    if cfg.ema_decay <= 0:
+        return step_fn
+
+    d = jnp.float32(cfg.ema_decay)
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("perc_on",))
+    def step_fn_ema(a_params, opt_state, ema_params, frozen, z, lat0, gt_img, weight, rng, perc_on):
+        t_rng, n_rng = jax.random.split(rng)
+        b = lat0.shape[0]
+        t = jax.random.randint(t_rng, (b,), 0, cfg.timesteps, dtype=jnp.int32)
+        noise = jax.random.normal(n_rng, lat0.shape, dtype=jnp.float32)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            a_params, frozen, z, lat0, gt_img, t, noise, weight, perc_on
+        )
+        updates, opt_state = tx.update(grads, opt_state, a_params)
+        a_params = optax.apply_updates(a_params, updates)
+        ema_params = jax.tree_util.tree_map(
+            lambda e, p: e * d + p.astype(jnp.float32) * (1.0 - d), ema_params, a_params
+        )
+        return a_params, opt_state, ema_params, loss
+
+    return step_fn_ema
+
+
 def train_sd_diffusion(
     store_dir: PathLike,
     decoder: StableDiffusionDecoder,
@@ -97,70 +219,114 @@ def train_sd_diffusion(
     lr: float = 1e-4,
     save_dir: Optional[PathLike] = None,
     dino_embed_fn: Optional[Callable] = None,
+    dino_params=None,
     lpips_model=None,
     config: Optional[SDTrainConfig] = None,
-    image_size: int = 512,
+    out_size: Optional[int] = None,
+    image_size: Optional[int] = None,
+    mesh=None,
+    resume: bool = False,
 ) -> Path:
     """Train the CLIP adapter against precomputed latents. Returns the final
     adapter checkpoint path (per-epoch ``sd_adapter_ep{N}.msgpack`` cadence,
-    reference ``:332-338``)."""
+    reference ``:332-338``).
+
+    Kwarg-compatible with the reference entry
+    (``train/sd_diffusion_train.py:91-104``) minus torch's ``device`` /
+    ``model_name`` (JAX owns placement; the decoder is injected, built from
+    converted weights by :mod:`clip_codec_tpu.cli.train_sd`).
+
+    ``dino_embed_fn(dino_params, images_m11)`` + ``dino_params`` enable the
+    reference's ``clip_w`` alignment term; ``lpips_model`` (an object with
+    ``.params``, e.g. :class:`eval.lpips.LPIPS`) enables the ``perc_w``
+    term. Both parameter trees ride the jitted step as arguments.
+
+    ``image_size`` is the deprecated alias of ``out_size``.
+
+    ``mesh``: a :func:`clip_codec_tpu.parallel.make_mesh` mesh replicates
+    the adapter/frozen params and shards every batch over the ``data``
+    axis (XLA grad psum over ICI) — single- or multi-process, like the
+    pixel trainer. ``resume=True`` continues from the latest orbax
+    full-state checkpoint (adapter + optimizer + epoch + EMA).
+    """
     cfg = config or SDTrainConfig(epochs=epochs, batch_size=batch_size, lr=lr)
+    if out_size is not None:
+        cfg.out_size = int(out_size)
+    elif image_size is not None:
+        cfg.out_size = int(image_size)
     save_dir = Path(save_dir or store_dir)
-    data = SDStoreData(store_dir, image_size=image_size)
+    data = SDStoreData(store_dir, image_size=cfg.out_size)
     tx = optax.adamw(cfg.lr)
     adapter_params = decoder.adapter_params
     opt_state = tx.init(adapter_params)
-    ac = jnp.asarray(sd_alphas_cumprod(cfg.timesteps))
 
-    unet_apply = decoder.unet.apply
-    unet_params = decoder.unet_params
-    vae = decoder.vae
-    vae_params = decoder.vae_params
-    adapter_apply = decoder.adapter.apply
-    scaling = decoder.scaling_factor
+    frozen = {"unet": decoder.unet_params, "vae": decoder.vae_params}
+    if dino_embed_fn is not None and dino_params is not None:
+        frozen["dino"] = dino_params
+    if lpips_model is not None:
+        frozen["lpips"] = lpips_model.params
+    step_fn = make_sd_train_step(
+        decoder, tx, cfg,
+        dino_embed_fn=dino_embed_fn, use_lpips=lpips_model is not None,
+    )
 
-    def loss_fn(a_params, z, lat0, gt_img, t, noise, weight, perc_on):
-        sa = jnp.sqrt(ac[t])[:, None, None, None]
-        sb = jnp.sqrt(1.0 - ac[t])[:, None, None, None]
-        lat_t = sa * lat0 + sb * noise
-        cond = adapter_apply({"params": a_params}, z)
-        eps_hat = unet_apply({"params": unet_params}, lat_t, t, cond).astype(jnp.float32)
-        per = jnp.mean((eps_hat - noise) ** 2, axis=(1, 2, 3))
-        need_decode = cfg.recon_w > 0 or cfg.tv_w > 0 or (dino_embed_fn is not None and cfg.dino_w > 0) or lpips_model is not None
-        if need_decode:
-            lat0_hat = (lat_t - sb * eps_hat) / sa
-            x_hat = vae.apply({"params": vae_params}, lat0_hat / scaling, method=AutoencoderKL.decode).astype(jnp.float32)
-            if cfg.recon_w > 0:
-                x_gt = vae.apply({"params": vae_params}, lat0 / scaling, method=AutoencoderKL.decode).astype(jnp.float32)
-                per = per + cfg.recon_w * jnp.mean((x_hat - x_gt) ** 2, axis=(1, 2, 3))
-            if cfg.tv_w > 0:
-                per = per + cfg.tv_w * total_variation(x_hat)
-            if dino_embed_fn is not None and cfg.dino_w > 0:
-                ya = dino_embed_fn(x_hat)
-                yb = jax.lax.stop_gradient(dino_embed_fn(gt_img))
-                cos = jnp.sum(ya * yb, axis=-1) / (
-                    jnp.linalg.norm(ya, axis=-1) * jnp.linalg.norm(yb, axis=-1) + 1e-8
+    place_batch = lambda *arrays: tuple(jnp.asarray(a) for a in arrays)
+    place_state = lambda tree: tree
+    if mesh is not None:
+        n_data = mesh.shape["data"]
+        if cfg.batch_size % n_data:
+            raise ValueError(f"batch_size={cfg.batch_size} not divisible by data axis {n_data}")
+        if jax.process_count() > 1:
+            from ..parallel import replicate_global, shard_host_batch_global
+
+            place_state = lambda tree: replicate_global(mesh, tree)
+            per_proc = cfg.batch_size // jax.process_count()
+            lo = jax.process_index() * per_proc
+
+            def place_batch(*arrays):  # each process contributes its slice
+                return shard_host_batch_global(mesh, *(a[lo : lo + per_proc] for a in arrays))
+        else:
+            from ..parallel import replicate, shard_batch
+
+            place_state = lambda tree: replicate(mesh, tree)
+            place_batch = lambda *arrays: shard_batch(mesh, *arrays)
+
+    from ..utils.checkpoint import TrainCheckpointer
+
+    checkpointer = TrainCheckpointer(Path(save_dir) / "orbax_sd")
+    use_ema = cfg.ema_decay > 0
+    ema_params = (
+        jax.tree_util.tree_map(lambda p: jnp.array(p, jnp.float32, copy=True), adapter_params)
+        if use_ema
+        else None
+    )
+    start_epoch = 0
+    if resume:
+        base_tmpl = {"adapter": adapter_params, "opt_state": opt_state, "epoch": 0}
+        ema_tmpl = dict(base_tmpl, ema_params=ema_params if use_ema else adapter_params)
+        try:
+            restored = checkpointer.restore(ema_tmpl if use_ema else base_tmpl)
+        except Exception as primary_err:
+            try:  # ema on/off shape mismatch — retry the alternate template
+                restored = checkpointer.restore(base_tmpl if use_ema else ema_tmpl)
+            except Exception:
+                raise primary_err
+        if restored is not None:
+            adapter_params = restored["adapter"]
+            opt_state = restored["opt_state"]
+            if use_ema:
+                ema_params = jax.tree_util.tree_map(
+                    lambda p: jnp.array(p, jnp.float32, copy=True),
+                    restored.get("ema_params", adapter_params),
                 )
-                per = per + cfg.dino_w * (1.0 - cos)
-            if perc_on and lpips_model is not None and cfg.perc_w > 0:
-                # perc_on is STATIC: the VGG16 forward+VJP is only traced into
-                # the every-perc_every-steps specialization instead of running
-                # (and being zeroed) on every step.
-                from ..eval.lpips import lpips_forward
+            start_epoch = int(restored["epoch"])
+            print(f"[train_sd] resumed from epoch {start_epoch}")
 
-                gt_small = jax.image.resize(gt_img, x_hat.shape, method="bilinear", antialias=False)
-                per = per + cfg.perc_w * lpips_forward(lpips_model.params, x_hat, gt_small)
-        return weighted_mean(per, weight)
-
-    @partial(jax.jit, donate_argnums=(0, 1), static_argnames=("perc_on",))
-    def step_fn(a_params, opt_state, z, lat0, gt_img, weight, rng, perc_on):
-        t_rng, n_rng = jax.random.split(rng)
-        b = lat0.shape[0]
-        t = jax.random.randint(t_rng, (b,), 0, cfg.timesteps, dtype=jnp.int32)
-        noise = jax.random.normal(n_rng, lat0.shape, dtype=jnp.float32)
-        loss, grads = jax.value_and_grad(loss_fn)(a_params, z, lat0, gt_img, t, noise, weight, perc_on)
-        updates, opt_state = tx.update(grads, opt_state, a_params)
-        return optax.apply_updates(a_params, updates), opt_state, loss
+    adapter_params = place_state(adapter_params)
+    opt_state = place_state(opt_state)
+    frozen = place_state(frozen)
+    if use_ema:
+        ema_params = place_state(ema_params)
 
     logger = TrainLogger(log_every=cfg.log_every)
     host_rng = np.random.default_rng(cfg.seed)
@@ -169,7 +335,7 @@ def train_sd_diffusion(
     step = 0
     from ..utils.batching import padded_index_batches
 
-    for ep in range(cfg.epochs):
+    for ep in range(start_epoch, cfg.epochs):
         order = host_rng.permutation(n)
         losses, wsums = [], []
         t0 = time.time()
@@ -177,18 +343,39 @@ def train_sd_diffusion(
             z, lat0, img = data.batch(idx)
             rng, srng = jax.random.split(rng)
             perc_on = bool(lpips_model is not None and step % cfg.perc_every == 0)
-            adapter_params, opt_state, loss = step_fn(
-                adapter_params, opt_state, jnp.asarray(z), jnp.asarray(lat0), jnp.asarray(img),
-                jnp.asarray(w), srng, perc_on,
-            )
+            z_d, lat_d, img_d, w_d = place_batch(z, lat0, img, np.asarray(w))
+            if use_ema:
+                adapter_params, opt_state, ema_params, loss = step_fn(
+                    adapter_params, opt_state, ema_params, frozen,
+                    z_d, lat_d, img_d, w_d, srng, perc_on,
+                )
+            else:
+                adapter_params, opt_state, loss = step_fn(
+                    adapter_params, opt_state, frozen,
+                    z_d, lat_d, img_d, w_d, srng, perc_on,
+                )
             losses.append(loss)
             wsums.append(w.sum())
             step += 1
             logger.step(step, loss)
         ep_loss = float(np.average([float(l) for l in losses], weights=wsums))
+        if jax.process_index() == 0:
+            save_params(save_dir / f"sd_adapter_ep{ep + 1}.msgpack", adapter_params)
+            state = {"adapter": adapter_params, "opt_state": opt_state, "epoch": ep + 1}
+            if use_ema:
+                state["ema_params"] = ema_params
+            checkpointer.save(ep + 1, state)
         logger.epoch(ep + 1, cfg.epochs, ep_loss, sum(wsums) / max(time.time() - t0, 1e-9))
-        save_params(save_dir / f"sd_adapter_ep{ep + 1}.msgpack", adapter_params)
     final = Path(save_dir) / "sd_adapter_final.msgpack"
-    save_params(final, adapter_params)
+    if jax.process_index() == 0:
+        save_params(final, adapter_params)
+        if use_ema:
+            save_params(save_dir / "sd_adapter_ema_final.msgpack", ema_params)
     decoder.adapter_params = adapter_params
     return final
+
+
+if __name__ == "__main__":  # the reference's module-entry surface (:342-373)
+    from ..cli.train_sd import main
+
+    main()

@@ -199,17 +199,65 @@ def convert_sd_adapter(sd: Mapping) -> Dict:
 
 
 def load_sd_params(unet_path: Optional[str] = None, vae_path: Optional[str] = None) -> Tuple[Dict, Dict]:
-    """Read diffusers checkpoint files (torch ``.bin`` or ``.safetensors``)."""
+    """Read diffusers checkpoint files (torch ``.bin`` or ``.safetensors``),
+    or already-converted Flax param trees (``.msgpack`` from
+    ``utils.checkpoint.save_params``) — the latter skips conversion, so a
+    converted tree can be cached once and loaded torch-free."""
 
-    def read(path):
+    def read(path, convert):
+        if str(path).endswith(".msgpack"):
+            from ..utils.checkpoint import load_params
+
+            return load_params(path)
         if str(path).endswith(".safetensors"):
             from safetensors.numpy import load_file
 
-            return load_file(str(path))
+            return convert(load_file(str(path)))
         import torch
 
-        return torch.load(path, map_location="cpu", weights_only=True)
+        return convert(torch.load(path, map_location="cpu", weights_only=True))
 
-    unet = convert_sd_unet(read(unet_path)) if unet_path else None
-    vae = convert_sd_vae(read(vae_path)) if vae_path else None
+    unet = read(unet_path, convert_sd_unet) if unet_path else None
+    vae = read(vae_path, convert_sd_vae) if vae_path else None
     return unet, vae
+
+
+def infer_sd_configs(unet_params: Dict, vae_params: Dict, heads: int = 8):
+    """Recover ``(SDUNetConfig, VAEConfig)`` from converted parameter trees.
+
+    Every architecture dimension is determined by kernel shapes except the
+    head COUNT (head splitting never changes parameter shapes) — pass
+    ``heads`` for non-SD-1.5 models. Lets the CLIs serve any converted
+    checkpoint (including sized-down test trees) without config flags."""
+    from ..models.sd.unet import SDUNetConfig
+    from ..models.sd.vae import VAEConfig
+
+    block_out = []
+    while f"down_{len(block_out)}_res_0" in unet_params:
+        block_out.append(int(unet_params[f"down_{len(block_out)}_res_0"]["conv1"]["kernel"].shape[3]))
+    layers = 0
+    while f"down_0_res_{layers}" in unet_params:
+        layers += 1
+    cross = int(unet_params["mid_attn"]["block_0"]["attn2"]["to_k"]["kernel"].shape[0])
+    ucfg = SDUNetConfig(
+        in_ch=int(unet_params["conv_in"]["kernel"].shape[2]),
+        out_ch=int(unet_params["conv_out"]["kernel"].shape[3]),
+        block_out=tuple(block_out),
+        layers_per_block=layers,
+        cross_dim=cross,
+        heads=heads,
+        freq_dim=int(unet_params["time_linear_1"]["kernel"].shape[0]),
+    )
+    enc = vae_params["encoder"]
+    v_block = []
+    while f"down_{len(v_block)}_res_0" in enc:
+        v_block.append(int(enc[f"down_{len(v_block)}_res_0"]["conv1"]["kernel"].shape[3]))
+    v_layers = 0
+    while f"down_0_res_{v_layers}" in enc:
+        v_layers += 1
+    vcfg = VAEConfig(
+        block_out=tuple(v_block),
+        layers_per_block=v_layers,
+        latent_ch=int(enc["quant_conv"]["kernel"].shape[3]) // 2,
+    )
+    return ucfg, vcfg

@@ -125,3 +125,144 @@ def test_adapter_checkpoint_prefix_stripping(tiny_decoder, tmp_path):
     assert set(params.keys()) == {"ln", "fc1", "fc2"}
     assert params["fc1"]["kernel"].shape == (32, 64)
     assert params["fc2"]["kernel"].shape == (64, 128)
+
+
+def _max_const_bytes(closed) -> int:
+    """Largest array constant anywhere in a (nested) ClosedJaxpr."""
+    biggest = 0
+    stack = [closed]
+    while stack:
+        c = stack.pop()
+        for const in getattr(c, "consts", ()):
+            if hasattr(const, "nbytes"):
+                biggest = max(biggest, int(const.nbytes))
+        for eqn in c.jaxpr.eqns:
+            for v in eqn.params.values():
+                for x in v if isinstance(v, (tuple, list)) else [v]:
+                    if hasattr(x, "jaxpr") and hasattr(x, "consts"):
+                        stack.append(x)
+    return biggest
+
+
+def test_sd_step_carries_no_large_closure_constants(tiny_decoder):
+    """Round-2 review (weak #1): the jitted SD train step must take every
+    frozen parameter tree as an ARGUMENT — at real scale the 860M UNet
+    closure-captured into the program body exceeds the remote-compile
+    transport limit. Trace the step and assert no multi-MB constants."""
+    import optax
+
+    from clip_codec_tpu.train.sd_diffusion_train import SDTrainConfig, make_sd_train_step
+
+    cfg = SDTrainConfig(timesteps=50)
+    tx = optax.adamw(1e-3)
+    step = make_sd_train_step(tiny_decoder, tx, cfg)
+    a = tiny_decoder.adapter_params
+    opt = tx.init(a)
+    frozen = {"unet": tiny_decoder.unet_params, "vae": tiny_decoder.vae_params}
+    B = 2
+    args = (
+        a, opt, frozen,
+        jnp.zeros((B, 32), jnp.float32), jnp.zeros((B, 8, 8, 4), jnp.float32),
+        jnp.zeros((B, 16, 16, 3), jnp.float32), jnp.ones((B,), jnp.float32),
+        jax.random.PRNGKey(0),
+    )
+    closed = jax.make_jaxpr(lambda *xs: step(*xs, perc_on=False))(*args)
+    biggest = _max_const_bytes(closed)
+    assert biggest < 1_000_000, (
+        f"step closes over a {biggest/1e6:.1f} MB constant — frozen params "
+        "must be jit arguments"
+    )
+
+
+def test_sd_dp_step_matches_single_device(sd_store, tiny_decoder):
+    """The SD adapter step under data parallelism equals the single-device
+    step (grad psum reassociation tolerance only)."""
+    import optax
+
+    from clip_codec_tpu.parallel import make_mesh, replicate, shard_batch
+    from clip_codec_tpu.train.sd_diffusion_train import (
+        SDStoreData,
+        SDTrainConfig,
+        make_sd_train_step,
+    )
+
+    cfg = SDTrainConfig(timesteps=50, out_size=16)
+    tx = optax.adamw(1e-3)
+    data = SDStoreData(sd_store, image_size=16)
+    z, lat0, img = data.batch(np.arange(4))
+    w = np.ones((4,), np.float32)
+    rng = jax.random.PRNGKey(7)
+
+    def run(mesh):
+        step = make_sd_train_step(tiny_decoder, tx, cfg)
+        # copy=True: the step donates a_params/opt_state, and both runs start
+        # from the decoder's same underlying buffers
+        a = jax.tree_util.tree_map(
+            lambda x: jnp.array(x, copy=True), tiny_decoder.adapter_params
+        )
+        opt = tx.init(a)
+        frozen = {"unet": tiny_decoder.unet_params, "vae": tiny_decoder.vae_params}
+        if mesh is None:
+            args = tuple(jnp.asarray(x) for x in (z, lat0, img, w))
+        else:
+            a = replicate(mesh, a)
+            opt = replicate(mesh, opt)
+            frozen = replicate(mesh, frozen)
+            args = shard_batch(mesh, z, lat0, img, w)
+        a2, _, loss = step(a, opt, frozen, *args, rng, perc_on=False)
+        return float(loss), jax.tree_util.tree_map(np.asarray, a2)
+
+    loss_1, a_1 = run(None)
+    loss_dp, a_dp = run(make_mesh(4))
+    assert np.isclose(loss_1, loss_dp, rtol=1e-5)
+    # adamw's rsqrt amplifies the grad-psum reassociation drift near zero
+    # second moments; 1e-3 relative still pins the update math.
+    for x, y in zip(jax.tree_util.tree_leaves(a_1), jax.tree_util.tree_leaves(a_dp)):
+        np.testing.assert_allclose(x, y, rtol=2e-3, atol=2e-4)
+
+
+def test_sd_train_resume_and_ema(sd_store, tiny_decoder, tmp_path, capsys):
+    """Orbax full-state resume + adapter EMA, mirroring the pixel trainer."""
+    from clip_codec_tpu.train.sd_diffusion_train import SDTrainConfig, train_sd_diffusion
+
+    ck = tmp_path / "ck"
+    cfg = SDTrainConfig(epochs=1, batch_size=4, lr=1e-3, timesteps=50, ema_decay=0.5)
+    train_sd_diffusion(sd_store, tiny_decoder, config=cfg, save_dir=ck, image_size=16)
+    cfg2 = SDTrainConfig(epochs=2, batch_size=4, lr=1e-3, timesteps=50, ema_decay=0.5)
+    final = train_sd_diffusion(
+        sd_store, tiny_decoder, config=cfg2, save_dir=ck, image_size=16, resume=True
+    )
+    out = capsys.readouterr().out
+    assert "resumed from epoch 1" in out
+    assert final.exists()
+    assert (ck / "sd_adapter_ema_final.msgpack").exists()
+    assert (ck / "sd_adapter_ep2.msgpack").exists()
+
+
+def test_train_sd_cli_e2e(sd_store, tiny_decoder, tmp_path, monkeypatch, capsys):
+    """The reference's missing CLI surface: python -m ...train.sd_diffusion_train
+    flags drive a tiny run end-to-end from converted (.msgpack) weights."""
+    import sys
+
+    from clip_codec_tpu.cli.train_sd import main
+    from clip_codec_tpu.utils.checkpoint import save_params
+
+    wdir = tmp_path / "w"
+    save_params(wdir / "unet.msgpack", tiny_decoder.unet_params)
+    save_params(wdir / "vae.msgpack", tiny_decoder.vae_params)
+    monkeypatch.setenv("CLIP_CODEC_SD_UNET_WEIGHTS", str(wdir / "unet.msgpack"))
+    monkeypatch.setenv("CLIP_CODEC_SD_VAE_WEIGHTS", str(wdir / "vae.msgpack"))
+    monkeypatch.delenv("CLIP_CODEC_DINO_WEIGHTS", raising=False)
+    monkeypatch.delenv("CLIP_CODEC_LPIPS_WEIGHTS", raising=False)
+    save_dir = tmp_path / "out"
+    monkeypatch.setattr(sys, "argv", [
+        "prog", "--store_dir", str(sd_store), "--out_size", "16",
+        "--epochs", "1", "--batch_size", "4", "--lr", "1e-3",
+        "--timesteps", "50", "--heads", "2", "--device", "cpu",
+        "--save_dir", str(save_dir),
+    ])
+    main()
+    out = capsys.readouterr().out
+    assert "epoch 1/1" in out
+    assert (save_dir / "sd_adapter_final.msgpack").exists()
+    assert (save_dir / "sd_adapter_ep1.msgpack").exists()
