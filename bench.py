@@ -65,15 +65,14 @@ def main() -> None:
     # carries both numbers + the measured quality delta). "static" uses
     # calibrated activation scales (skips the per-conv absmax pass).
     int8_env = os.environ.get("CLIP_CODEC_BENCH_INT8", "")
+    if int8_env == "quality":
+        return int8_quality()
     int8_mode = int8_env not in ("", "0")
     int8_static = int8_env == "static"
-    if int8_mode:
-        from clip_codec_tpu.ops import set_int8_conv
-
-        set_int8_conv(True)
 
     rng = np.random.default_rng(0)
-    net = CLIPCondUNet(z_dim=512, base=128, ch_mult=(1, 2, 2), img_ch=3, dtype=jnp.bfloat16)
+    net = CLIPCondUNet(z_dim=512, base=128, ch_mult=(1, 2, 2), img_ch=3,
+                       dtype=jnp.bfloat16, int8=True if int8_mode else None)
     z = jnp.asarray(rng.standard_normal((BATCH, 512)), jnp.float32)
     x = jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
     params = jax.jit(net.init)(jax.random.PRNGKey(0), x, z[:1], jnp.zeros((1,), jnp.int32))
@@ -168,6 +167,59 @@ def main() -> None:
     except Exception as e:  # pragma: no cover - transport-dependent
         print(f"[bench] cost_analysis unavailable: {e}", file=sys.stderr)
 
+    print(json.dumps(record))
+
+
+def int8_quality() -> None:
+    """Flagship-scale int8 quality artifact (CLIP_CODEC_BENCH_INT8=quality):
+    SAME-SEED DDIM-50 256px trajectories through the bf16 parity model and
+    the static-calibrated int8 model (explicit per-model int8 fields — both
+    in one process), final-image PSNR/SSIM between them computed on device.
+    This is the serving-mode quality number AT THE SCALE THE +27% throughput
+    claim is made (random weights suffice: divergence is a property of the
+    quantization, not the checkpoint)."""
+    from clip_codec_tpu.diffusion import NoiseSchedule, ddim_sample
+    from clip_codec_tpu.eval.metrics import psnr_batch, ssim_batch
+    from clip_codec_tpu.models import CLIPCondUNet
+    from clip_codec_tpu.ops import calibrate_int8
+
+    rng = np.random.default_rng(0)
+    net_fp = CLIPCondUNet(z_dim=512, base=128, ch_mult=(1, 2, 2), img_ch=3,
+                          dtype=jnp.bfloat16, int8=False)
+    net_q = CLIPCondUNet(z_dim=512, base=128, ch_mult=(1, 2, 2), img_ch=3,
+                         dtype=jnp.bfloat16, int8=True)
+    z = jnp.asarray(rng.standard_normal((BATCH, 512)), jnp.float32)
+    x = jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
+    params = jax.jit(net_fp.init)(jax.random.PRNGKey(0), x, z[:1], jnp.zeros((1,), jnp.int32))
+
+    cal_x = jnp.asarray(rng.standard_normal((4, SIZE, SIZE, 3)), jnp.float32)
+    batches = [(cal_x, z[:4], jnp.full((4,), tt, jnp.int32)) for tt in (950, 500, 50)]
+    quant = calibrate_int8(net_q.apply, params, *batches)
+    params_q = {**params, "quant": quant}
+
+    sched = NoiseSchedule.create(1000, "cosine")
+    shape = (BATCH, SIZE, SIZE, 3)
+    key = jax.random.PRNGKey(7)
+
+    def sample(net, p):
+        fn = lambda pp, xx, zz, tt: net.apply(pp, xx, zz, tt)
+        return jnp.clip(ddim_sample(fn, sched, z, shape, steps=STEPS, rng=key,
+                                    model_params=p), -1.0, 1.0)
+
+    t0 = time.time()
+    out_fp = sample(net_fp, params)
+    out_q = sample(net_q, params_q)
+    ps = np.asarray(psnr_batch(out_fp, out_q))
+    ss = np.asarray(ssim_batch(out_fp, out_q))
+    print(f"[bench] int8 quality run {time.time()-t0:.1f}s (batch={BATCH})", file=sys.stderr)
+    record = {
+        "metric": f"int8-static vs bf16, same-seed DDIM-{STEPS} {SIZE}px final images",
+        "psnr_db_mean": round(float(np.mean(ps)), 2),
+        "psnr_db_min": round(float(np.min(ps)), 2),
+        "ssim_mean": round(float(np.mean(ss)), 4),
+        "ssim_min": round(float(np.min(ss)), 4),
+        "batch": BATCH,
+    }
     print(json.dumps(record))
 
 

@@ -39,11 +39,16 @@ def _flops(lowered_compiled) -> float | None:
         return None
 
 
-def bench_unet(B=2, latent=64, params=None, shapes=None, quiet_load=False):
+def bench_unet(B=2, latent=64, params=None, shapes=None, quiet_load=False, int8=False,
+               static_quant=False):
     """Per-forward device time via two on-device scan lengths (one dispatch
     per measurement, scalar output) — standalone per-call timing over the
-    axon tunnel is dispatch-bound (~35-90ms/call) and meaningless."""
-    unet = SDUNet(SD15_UNET, dtype=jnp.bfloat16)
+    axon tunnel is dispatch-bound (~35-90ms/call) and meaningless.
+
+    ``int8=True`` serves the FLOP-dominant interior (transformer Dense
+    projections + GEGLU + resnet/up/down convs) on the int8 MXU — same
+    checkpoint, dynamic per-tensor activation scales."""
+    unet = SDUNet(SD15_UNET, dtype=jnp.bfloat16, int8=int8)
     lat = jnp.zeros((B, latent, latent, 4), jnp.float32)
     t = jnp.zeros((B,), jnp.int32)
     ctx = jnp.zeros((B, 8, 768), jnp.float32)
@@ -53,28 +58,41 @@ def bench_unet(B=2, latent=64, params=None, shapes=None, quiet_load=False):
         # numpy params would re-upload 3.4GB over the transport on every call
     if not quiet_load:
         n_params = sum(np.prod(s.shape) for s in jax.tree_util.tree_leaves(shapes))
-        print(f"[sd-unet] {n_params/1e6:.0f}M params, latents {latent}x{latent}", flush=True)
+        mode = " int8" if int8 else ""
+        print(f"[sd-unet{mode}] {n_params/1e6:.0f}M params, latents {latent}x{latent}", flush=True)
+
+    quant = None
+    if int8 and static_quant:
+        # one fp pass with mutable=['quant'] records per-layer activation
+        # absmax; the static path then skips every dynamic absmax reduction
+        t0 = time.time()
+        _, upd = unet.apply(
+            {"params": params}, lat, t, ctx, mutable=["quant"]
+        )
+        quant = jax.device_put(jax.tree_util.tree_map(np.asarray, upd["quant"]))
+        print(f"[sd-unet int8] static calibration pass {time.time()-t0:.1f}s", flush=True)
 
     from functools import partial
 
     @partial(jax.jit, static_argnames=("k",))
-    def run(p, lat, t, ctx, k):
+    def run(p, q, lat, t, ctx, k):
+        v = {"params": p} if q is None else {"params": p, "quant": q}
         def step(c, _):
             # eps feeds back as the next latent: keeps the loop un-hoistable
-            return unet.apply({"params": p}, c, t, ctx).astype(c.dtype), None
+            return unet.apply(v, c, t, ctx).astype(c.dtype), None
 
         out, _ = jax.lax.scan(step, lat, None, length=k)
         return jnp.mean(out.astype(jnp.float32))
 
     ts, fl = {}, {}
     for k in (K1, K2):
-        lc = run.lower(params, lat, t, ctx, k=k).compile()
+        lc = run.lower(params, quant, lat, t, ctx, k=k).compile()
         fl[k] = _flops(lc)
         t0 = time.time()
-        assert np.isfinite(float(run(params, lat, t, ctx, k=k)))
+        assert np.isfinite(float(run(params, quant, lat, t, ctx, k=k)))
         first = time.time() - t0
         t0 = time.time()
-        float(run(params, lat, t, ctx, k=k))
+        float(run(params, quant, lat, t, ctx, k=k))
         ts[k] = time.time() - t0
     dt = (ts[K2] - ts[K1]) / (K2 - K1)
     # XLA's cost analysis counts a while-loop body ONCE regardless of trip
@@ -87,12 +105,41 @@ def bench_unet(B=2, latent=64, params=None, shapes=None, quiet_load=False):
         flops = None
     mfu = flops / dt / PEAK_BF16 if flops else float("nan")
     # 30-step CFG sampling = 60 UNet forwards per image batch
+    mode = (" int8-static" if static_quant else " int8") if int8 else ""
     print(
-        f"[sd-unet] B={B}: {dt*1e3:.1f}ms/forward on device ({dt/B*1e3:.1f}ms/img,"
+        f"[sd-unet{mode}] B={B}: {dt*1e3:.1f}ms/forward on device ({dt/B*1e3:.1f}ms/img,"
         f" MFU {mfu:.3f}) -> DDIM-30+CFG ~ {B/(dt*60):.2f} img/s",
         flush=True,
     )
     return params, shapes
+
+
+def bench_unet_int8_error(B=2, latent=64, params=None):
+    """Per-forward eps relative error of the int8 SD UNet vs bf16 on
+    noise-scale inputs (the serving-mode quality number for this path)."""
+    rng = np.random.default_rng(0)
+    lat = jnp.asarray(rng.standard_normal((B, latent, latent, 4)), jnp.float32)
+    t = jnp.full((B,), 500, jnp.int32)
+    ctx = jnp.asarray(rng.standard_normal((B, 8, 768)) * 0.1, jnp.float32)
+    if params is None:
+        shapes = jax.eval_shape(
+            SDUNet(SD15_UNET).init, jax.random.PRNGKey(0), lat, t, ctx
+        )["params"]
+        params = jax.device_put(random_params_like(shapes))
+
+    @jax.jit
+    def err(p, lat, t, ctx):
+        y_fp = SDUNet(SD15_UNET, dtype=jnp.bfloat16, int8=False).apply(
+            {"params": p}, lat, t, ctx
+        ).astype(jnp.float32)
+        y_q = SDUNet(SD15_UNET, dtype=jnp.bfloat16, int8=True).apply(
+            {"params": p}, lat, t, ctx
+        ).astype(jnp.float32)
+        return jnp.linalg.norm(y_q - y_fp) / jnp.linalg.norm(y_fp)
+
+    rel = float(err(params, lat, t, ctx))
+    print(f"[sd-unet int8] per-forward eps relative error vs bf16: {rel*100:.2f}%", flush=True)
+    return rel
 
 
 def bench_vae_decode(B=1, latent=64):
@@ -189,6 +236,16 @@ if __name__ == "__main__":
 
     if "train" in sys.argv[1:]:
         bench_adapter_train()
+        sys.exit(0)
+    if "int8" in sys.argv[1:] or "int8static" in sys.argv[1:]:
+        static = "int8static" in sys.argv[1:]
+        batches = [int(b) for b in sys.argv[1:] if b.isdigit()] or [1, 8]
+        params = shapes = None
+        for B in batches:
+            params, shapes = bench_unet(B, params=params, shapes=shapes,
+                                        quiet_load=params is not None, int8=True,
+                                        static_quant=static)
+        bench_unet_int8_error(params=params)
         sys.exit(0)
     batches = [int(b) for b in sys.argv[1:]] or [1, 2, 4, 8]
     params = shapes = None

@@ -46,7 +46,7 @@ def main() -> None:
     import numpy as np
 
     from ..diffusion import DDIMSampler, NoiseSchedule
-    from ..eval.metrics import clip_similarity, lpips_distance, psnr_batch, ssim_batch
+    from ..eval.metrics import clip_similarity_batch, lpips_batch, psnr_batch, ssim_batch
     from ..eval.metrics import _default_clip_encoder, _default_lpips
     from ..models import CLIPCondUNet
     from ..train.data import load_image_m11
@@ -114,15 +114,18 @@ def main() -> None:
         orig = np.stack([load_image_m11(store.manifest[i]["image"], args.size) for i in idx])
         ps = np.asarray(psnr_batch(jnp.asarray(orig), jnp.asarray(recon)))
         ss = np.asarray(ssim_batch(jnp.asarray(orig), jnp.asarray(recon)))
+        # All four metrics batched: PSNR/SSIM fully on device, LPIPS one
+        # jitted VGG pass per batch, CLIP-sim one ViT pass per batch (host
+        # PIL preprocess kept for reference-exact semantics).
+        lp = lpips_batch(orig, recon, lpips_model=lpips_model)
+        cs = clip_similarity_batch(orig, recon, encoder=clip_enc)
         for j, i in enumerate(idx):
-            o_chw = orig[j].transpose(2, 0, 1)
-            r_chw = recon[j].transpose(2, 0, 1)
             metrics.append({
                 "image": store.manifest[i]["image"],
                 "psnr": float(ps[j]),
                 "ssim": float(ss[j]),
-                "lpips": lpips_distance(o_chw, r_chw, lpips_model=lpips_model),
-                "clip_sim": clip_similarity(o_chw, r_chw, encoder=clip_enc),
+                "lpips": float(lp[j]),
+                "clip_sim": float(cs[j]),
             })
 
     def _agg(key):

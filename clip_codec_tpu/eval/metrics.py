@@ -131,6 +131,20 @@ def _default_lpips():
     return _LPIPS_SINGLETON
 
 
+def lpips_batch(orig_hwc: np.ndarray, recon_hwc: np.ndarray, lpips_model=None) -> np.ndarray:
+    """Batched on-device LPIPS over (B, H, W, C) [-1,1] images -> (B,);
+    NaNs when no weights are available. One jitted VGG forward for the whole
+    batch — completing SURVEY §3.4's "metrics vmapped over the store" for
+    the heaviest metric (the reference re-instantiates the net per image,
+    ``eval/metrics.py:60``)."""
+    model = lpips_model or _default_lpips()
+    if model is None:
+        return np.full((orig_hwc.shape[0],), np.nan, np.float32)
+    import jax.numpy as jnp
+
+    return np.asarray(model.distance(jnp.asarray(orig_hwc), jnp.asarray(recon_hwc)))
+
+
 def lpips_distance(img1: np.ndarray, img2: np.ndarray, lpips_model=None, device: str = "cpu") -> float:
     """LPIPS (VGG backbone); NaN when no weights are available — mirroring the
     reference's lpips-missing fallback (``eval/metrics.py:49-53``)."""
@@ -160,6 +174,31 @@ def _default_clip_encoder():
         except Exception:
             _CLIP_SINGLETON = None
     return _CLIP_SINGLETON
+
+
+def clip_similarity_batch(orig_hwc: np.ndarray, recon_hwc: np.ndarray, encoder=None) -> np.ndarray:
+    """Batched CLIP cosine similarity over (B, H, W, C) [-1,1] pairs -> (B,).
+
+    Preprocessing keeps the reference's uint8-PIL semantics per image on the
+    host (``eval/metrics.py:65-85``: full CLIP preprocess incl. BICUBIC +
+    center crop); the two ViT forwards run as ONE device batch each instead
+    of one model call per image."""
+    enc = encoder or _default_clip_encoder()
+    if enc is None:
+        return np.full((orig_hwc.shape[0],), np.nan, np.float32)
+    from PIL import Image
+
+    from ..encoders.clip import preprocess_pil
+
+    def prep(batch):
+        return np.stack([
+            preprocess_pil(Image.fromarray(to_uint8(img)), enc.cfg.image_size)
+            for img in batch
+        ])
+
+    f1 = enc.encode_image_array(prep(orig_hwc))
+    f2 = enc.encode_image_array(prep(recon_hwc))
+    return np.sum(f1 * f2, axis=-1)
 
 
 def clip_similarity(img1: np.ndarray, img2: np.ndarray, encoder=None, device: str = "cpu") -> float:

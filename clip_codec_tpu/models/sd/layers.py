@@ -38,15 +38,19 @@ class ResnetBlock2D(nn.Module):
     temb_dim: Optional[int] = None
     eps: float = 1e-5
     dtype: Dtype = jnp.float32
+    int8: Optional[bool] = None  # int8 MXU serving convs (None = process default)
 
     @nn.compact
     def __call__(self, x: jax.Array, temb: Optional[jax.Array] = None) -> jax.Array:
+        from ...ops.int8 import conv_module
+
+        Conv = conv_module(self.int8)
         cin = x.shape[-1]
         s1 = self.param("norm1_scale", nn.initializers.ones, (cin,), jnp.float32)
         b1 = self.param("norm1_bias", nn.initializers.zeros, (cin,), jnp.float32)
         h = group_norm32(x, s1, b1, eps=self.eps)
         h = nn.silu(h)
-        h = nn.Conv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv1")(h)
+        h = Conv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv1")(h)
         if temb is not None and self.temb_dim is not None:
             t = nn.Dense(self.out_ch, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
             h = h + t[:, None, None, :]
@@ -54,9 +58,9 @@ class ResnetBlock2D(nn.Module):
         b2 = self.param("norm2_bias", nn.initializers.zeros, (self.out_ch,), jnp.float32)
         h = group_norm32(h, s2, b2, eps=self.eps)
         h = nn.silu(h)
-        h = nn.Conv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv2")(h)
+        h = Conv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv2")(h)
         if cin != self.out_ch:
-            x = nn.Conv(self.out_ch, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
+            x = Conv(self.out_ch, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
         return x + h
 
 
@@ -73,17 +77,21 @@ class CrossAttention(nn.Module):
     heads: int
     dtype: Dtype = jnp.float32
     flash: Optional[bool] = None
+    int8: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, context: Optional[jax.Array] = None) -> jax.Array:
+        from ...ops.int8 import dense_module
+
+        Dense = dense_module(self.int8)
         ctx = x if context is None else context
         B, N, _ = x.shape
         M = ctx.shape[1]
         h = self.heads
         d = self.dim // h
-        q = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
-        v = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        q = Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
         from ...ops.groupnorm import flash_enabled
 
         use_flash = flash_enabled() if self.flash is None else self.flash
@@ -108,7 +116,7 @@ class CrossAttention(nn.Module):
             logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(d).astype(q.dtype)
             attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
             out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, N, self.dim)
-        return nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
+        return Dense(self.dim, dtype=self.dtype, name="to_out")(out)
 
 
 class GEGLU(nn.Module):
@@ -122,11 +130,15 @@ class GEGLU(nn.Module):
 
     dim_out: int
     dtype: Dtype = jnp.float32
+    int8: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        a = nn.Dense(self.dim_out, dtype=self.dtype, name="proj_h")(x)
-        g = nn.Dense(self.dim_out, dtype=self.dtype, name="proj_g")(x)
+        from ...ops.int8 import dense_module
+
+        Dense = dense_module(self.int8)
+        a = Dense(self.dim_out, dtype=self.dtype, name="proj_h")(x)
+        g = Dense(self.dim_out, dtype=self.dtype, name="proj_g")(x)
         return a * nn.gelu(g, approximate=False)
 
 
@@ -137,18 +149,22 @@ class BasicTransformerBlock(nn.Module):
     heads: int
     dtype: Dtype = jnp.float32
     flash: Optional[bool] = None
+    int8: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
-        x = x + CrossAttention(self.dim, self.heads, dtype=self.dtype, flash=self.flash, name="attn1")(
+        from ...ops.int8 import dense_module
+
+        kw = dict(dtype=self.dtype, flash=self.flash, int8=self.int8)
+        x = x + CrossAttention(self.dim, self.heads, name="attn1", **kw)(
             nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         )
-        x = x + CrossAttention(self.dim, self.heads, dtype=self.dtype, flash=self.flash, name="attn2")(
+        x = x + CrossAttention(self.dim, self.heads, name="attn2", **kw)(
             nn.LayerNorm(dtype=self.dtype, name="norm2")(x), context
         )
         y = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
-        y = GEGLU(self.dim * 4, dtype=self.dtype, name="ff_geglu")(y)
-        y = nn.Dense(self.dim, dtype=self.dtype, name="ff_out")(y)
+        y = GEGLU(self.dim * 4, dtype=self.dtype, int8=self.int8, name="ff_geglu")(y)
+        y = dense_module(self.int8)(self.dim, dtype=self.dtype, name="ff_out")(y)
         return x + y
 
 
@@ -162,19 +178,26 @@ class Transformer2D(nn.Module):
     depth: int = 1
     dtype: Dtype = jnp.float32
     flash: Optional[bool] = None
+    int8: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
+        from ...ops.int8 import conv_module
+
+        Conv = conv_module(self.int8)
         B, H, W, C = x.shape
         s = self.param("norm_scale", nn.initializers.ones, (C,), jnp.float32)
         b = self.param("norm_bias", nn.initializers.zeros, (C,), jnp.float32)
         h = group_norm32(x, s, b, eps=1e-6)
-        h = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="proj_in")(h)
+        h = Conv(self.dim, (1, 1), dtype=self.dtype, name="proj_in")(h)
         h = h.reshape(B, H * W, self.dim)
         for i in range(self.depth):
-            h = BasicTransformerBlock(self.dim, self.heads, dtype=self.dtype, flash=self.flash, name=f"block_{i}")(h, context)
+            h = BasicTransformerBlock(
+                self.dim, self.heads, dtype=self.dtype, flash=self.flash,
+                int8=self.int8, name=f"block_{i}",
+            )(h, context)
         h = h.reshape(B, H, W, self.dim)
-        h = nn.Conv(C, (1, 1), dtype=self.dtype, name="proj_out")(h)
+        h = Conv(C, (1, 1), dtype=self.dtype, name="proj_out")(h)
         return x + h
 
 
@@ -184,11 +207,16 @@ class Downsample2D(nn.Module):
     out_ch: int
     asymmetric: bool = False
     dtype: Dtype = jnp.float32
+    int8: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from ...ops.int8 import conv_module
+
         pad = ((0, 1), (0, 1)) if self.asymmetric else ((1, 1), (1, 1))
-        return nn.Conv(self.out_ch, (3, 3), strides=(2, 2), padding=pad, dtype=self.dtype, name="conv")(x)
+        return conv_module(self.int8)(
+            self.out_ch, (3, 3), strides=(2, 2), padding=pad, dtype=self.dtype, name="conv"
+        )(x)
 
 
 class Upsample2D(nn.Module):
@@ -196,12 +224,17 @@ class Upsample2D(nn.Module):
 
     out_ch: int
     dtype: Dtype = jnp.float32
+    int8: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from ...ops.int8 import conv_module
+
         B, H, W, C = x.shape
         x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
-        return nn.Conv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv")(x)
+        return conv_module(self.int8)(
+            self.out_ch, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv"
+        )(x)
 
 
 class AttnBlockVAE(nn.Module):

@@ -60,6 +60,10 @@ class SDUNet(nn.Module):
     # (on for TPU backends), True/False forces. Per-model so a parity model
     # and a flash model can coexist in one process.
     flash: "bool | None" = None
+    # int8 MXU serving mode for the FLOP-dominant interior (transformer
+    # projections + GEGLU + resnet/up/down convs; conv_in/conv_out stay fp,
+    # the standard first/last-layer exemption). None = process default.
+    int8: "bool | None" = None
 
     @nn.compact
     def __call__(self, latents: jax.Array, t: jax.Array, context: jax.Array) -> jax.Array:
@@ -82,30 +86,30 @@ class SDUNet(nn.Module):
         # ----- down path
         for i, ch in enumerate(c.block_out):
             for j in range(c.layers_per_block):
-                x = ResnetBlock2D(ch, c.temb_dim, dtype=self.dtype, name=f"down_{i}_res_{j}")(x, temb)
+                x = ResnetBlock2D(ch, c.temb_dim, dtype=self.dtype, int8=self.int8, name=f"down_{i}_res_{j}")(x, temb)
                 if has_attn[i]:
-                    x = Transformer2D(ch, c.heads, dtype=self.dtype, flash=self.flash, name=f"down_{i}_attn_{j}")(x, context)
+                    x = Transformer2D(ch, c.heads, dtype=self.dtype, flash=self.flash, int8=self.int8, name=f"down_{i}_attn_{j}")(x, context)
                 skips.append(x)
             if i < n_blocks - 1:
-                x = Downsample2D(ch, dtype=self.dtype, name=f"down_{i}_ds")(x)
+                x = Downsample2D(ch, dtype=self.dtype, int8=self.int8, name=f"down_{i}_ds")(x)
                 skips.append(x)
 
         # ----- mid
         ch = c.block_out[-1]
-        x = ResnetBlock2D(ch, c.temb_dim, dtype=self.dtype, name="mid_res_0")(x, temb)
-        x = Transformer2D(ch, c.heads, dtype=self.dtype, flash=self.flash, name="mid_attn")(x, context)
-        x = ResnetBlock2D(ch, c.temb_dim, dtype=self.dtype, name="mid_res_1")(x, temb)
+        x = ResnetBlock2D(ch, c.temb_dim, dtype=self.dtype, int8=self.int8, name="mid_res_0")(x, temb)
+        x = Transformer2D(ch, c.heads, dtype=self.dtype, flash=self.flash, int8=self.int8, name="mid_attn")(x, context)
+        x = ResnetBlock2D(ch, c.temb_dim, dtype=self.dtype, int8=self.int8, name="mid_res_1")(x, temb)
 
         # ----- up path (concat skips, layers_per_block+1 resnets per block)
         for k, i in enumerate(reversed(range(n_blocks))):
             ch = c.block_out[i]
             for j in range(c.layers_per_block + 1):
                 x = jnp.concatenate([x, skips.pop()], axis=-1)
-                x = ResnetBlock2D(ch, c.temb_dim, dtype=self.dtype, name=f"up_{k}_res_{j}")(x, temb)
+                x = ResnetBlock2D(ch, c.temb_dim, dtype=self.dtype, int8=self.int8, name=f"up_{k}_res_{j}")(x, temb)
                 if has_attn[i]:
-                    x = Transformer2D(ch, c.heads, dtype=self.dtype, flash=self.flash, name=f"up_{k}_attn_{j}")(x, context)
+                    x = Transformer2D(ch, c.heads, dtype=self.dtype, flash=self.flash, int8=self.int8, name=f"up_{k}_attn_{j}")(x, context)
             if i > 0:
-                x = Upsample2D(ch, dtype=self.dtype, name=f"up_{k}_us")(x)
+                x = Upsample2D(ch, dtype=self.dtype, int8=self.int8, name=f"up_{k}_us")(x)
 
         s = self.param("out_norm_scale", nn.initializers.ones, (c.block_out[0],), jnp.float32)
         b = self.param("out_norm_bias", nn.initializers.zeros, (c.block_out[0],), jnp.float32)

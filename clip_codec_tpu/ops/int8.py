@@ -158,6 +158,51 @@ class Int8Conv(nn.Module):
         return y.astype(self.dtype)
 
 
+class Int8Dense(nn.Module):
+    """Drop-in for ``nn.Dense`` with the SAME parameter tree (kernel
+    (in, out) lecun_normal + bias zeros) — any trained checkpoint serves in
+    int8 unchanged. Per-column symmetric int8 weights, per-tensor dynamic
+    (or 'quant'-calibrated static) activation scales, int32 MXU
+    accumulation. Built for the SD UNet's spatial-transformer projections
+    (to_q/k/v/out, GEGLU, ff_out) — its FLOP-bound serving path."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features), jnp.float32
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        if self.is_mutable_collection("quant"):
+            qv = self.variable("quant", "x_absmax", lambda: jnp.zeros((), jnp.float32))
+            qv.value = jnp.maximum(qv.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
+            y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype)).astype(jnp.float32)
+        else:
+            w_scale = jnp.maximum(jnp.max(jnp.abs(kernel), axis=0) / 127.0, 1e-12)  # (out,)
+            wq = jnp.clip(jnp.round(kernel / w_scale), -127, 127).astype(jnp.int8)
+            x32 = x.astype(jnp.float32)
+            if self.has_variable("quant", "x_absmax"):
+                absmax = self.get_variable("quant", "x_absmax")
+            else:
+                absmax = jnp.max(jnp.abs(x32))
+            s = jnp.maximum(absmax, 1e-12) / 127.0
+            xq = jnp.clip(jnp.round(x32 / s), -127, 127).astype(jnp.int8)
+            y = jax.lax.dot_general(
+                xq, wq, (((xq.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * (w_scale * s)
+        if bias is not None:
+            y = y + bias
+        return y.astype(self.dtype)
+
+
 def calibrate_unet(net_apply, variables, size: int, z_dim: int,
                    timesteps=1000, batch: int = 4, seed: int = 0):
     """Convenience calibration for a ``CLIPCondUNet``-shaped apply
@@ -217,3 +262,10 @@ def conv_module(int8: Optional[bool] = None):
     process switch at trace time; an explicit True/False pins the model."""
     use = _USE_INT8 if int8 is None else int8
     return Int8Conv if use else nn.Conv
+
+
+def dense_module(int8: Optional[bool] = None):
+    """``Int8Dense`` or ``nn.Dense``, same selection rule as
+    :func:`conv_module`."""
+    use = _USE_INT8 if int8 is None else int8
+    return Int8Dense if use else nn.Dense

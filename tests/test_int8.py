@@ -196,3 +196,57 @@ def test_calibrate_without_int8_model_raises():
 
     with pytest.raises(RuntimeError, match="int8"):
         calibrate_unet(net.apply, {"params": params}, 8, 8, timesteps=50, batch=1)
+
+
+def test_sd_unet_int8_field():
+    """The SD UNet's int8 serving mode: identical param tree (checkpoints
+    serve unchanged), finite outputs with bounded quantization error, and
+    fp/int8 models coexist via the explicit field."""
+    from clip_codec_tpu.models.sd import SDUNet
+    from clip_codec_tpu.models.sd.unet import SDUNetConfig
+
+    cfg = SDUNetConfig(block_out=(8, 16), layers_per_block=1, cross_dim=16, heads=2, freq_dim=8)
+    rng = np.random.default_rng(5)
+    lat = jnp.asarray(rng.standard_normal((2, 8, 8, 4)), jnp.float32)
+    t = jnp.asarray([3, 40], jnp.int32)
+    ctx = jnp.asarray(rng.standard_normal((2, 3, 16)), jnp.float32)
+    net_fp = SDUNet(cfg, int8=False)
+    net_q = SDUNet(cfg, int8=True)
+    p_fp = net_fp.init(jax.random.PRNGKey(0), lat, t, ctx)["params"]
+    p_q = net_q.init(jax.random.PRNGKey(0), lat, t, ctx)["params"]
+    assert _tree_shapes(p_fp) == _tree_shapes(p_q)
+    for a, b in zip(jax.tree_util.tree_leaves(p_fp), jax.tree_util.tree_leaves(p_q)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    y_fp = np.asarray(net_fp.apply({"params": p_fp}, lat, t, ctx))
+    y_q = np.asarray(net_q.apply({"params": p_fp}, lat, t, ctx))
+    assert np.isfinite(y_q).all()
+    rel = np.linalg.norm(y_q - y_fp) / np.linalg.norm(y_fp)
+    assert 0 < rel < 0.25, rel  # changed but bounded
+
+
+def test_sd_unet_int8_static_calibration():
+    """calibrate_int8 over the SD UNet records per-Dense/per-Conv absmax and
+    the static path stays within range of the dynamic one."""
+    from clip_codec_tpu.models.sd import SDUNet
+    from clip_codec_tpu.models.sd.unet import SDUNetConfig
+    from clip_codec_tpu.ops.int8 import calibrate_int8
+
+    cfg = SDUNetConfig(block_out=(8, 16), layers_per_block=1, cross_dim=16, heads=2, freq_dim=8)
+    rng = np.random.default_rng(6)
+    lat = jnp.asarray(rng.standard_normal((2, 8, 8, 4)), jnp.float32)
+    t = jnp.asarray([3, 40], jnp.int32)
+    ctx = jnp.asarray(rng.standard_normal((2, 3, 16)), jnp.float32)
+    net = SDUNet(cfg, int8=True)
+    params = net.init(jax.random.PRNGKey(0), lat, t, ctx)["params"]
+    quant = calibrate_int8(net.apply, {"params": params}, (lat, t, ctx))
+    leaves = jax.tree_util.tree_leaves(quant)
+    assert len(leaves) > 10  # dense + conv sites recorded
+    y_sta = np.asarray(net.apply({"params": params, "quant": quant}, lat, t, ctx))
+    assert np.isfinite(y_sta).all()
+    # Static and dynamic paths drift apart layer-by-layer (calibration
+    # records FP-activation absmax; dynamic adapts to the already-quantized
+    # upstream), so the meaningful bound is vs the fp oracle.
+    y_fp = np.asarray(SDUNet(cfg, int8=False).apply({"params": params}, lat, t, ctx))
+    rel = np.linalg.norm(y_sta - y_fp) / np.linalg.norm(y_fp)
+    assert 0 < rel < 0.25, rel

@@ -125,3 +125,54 @@ def test_index_search(rng):
     # k larger than ntotal clamps
     res_all = search_index(feats[0], idx, paths, k=500)
     assert len(res_all) == 50
+
+
+def test_lpips_batch_weights_present(rng):
+    """The eval CLI's batched LPIPS path with (random) weights PRESENT: one
+    jitted forward scores the whole batch, per-row equal to the scalar API."""
+    from clip_codec_tpu.eval.lpips import LPIPSModel, VGG_CFG
+    from clip_codec_tpu.eval.metrics import lpips_batch, lpips_distance
+
+    convs, cin = [], 3
+    for item in VGG_CFG:
+        if item == "M":
+            continue
+        convs.append({
+            "kernel": rng.standard_normal((3, 3, cin, item)).astype(np.float32) * 0.05,
+            "bias": np.zeros((item,), np.float32),
+        })
+        cin = item
+    params = {
+        "shift": np.array([-0.030, -0.088, -0.188], np.float32),
+        "scale": np.array([0.458, 0.448, 0.450], np.float32),
+        "convs": convs,
+        "lins": [np.abs(rng.standard_normal(c)).astype(np.float32) for c in (64, 128, 256, 512, 512)],
+    }
+    m = LPIPSModel(params)
+    a = rng.standard_normal((3, 32, 32, 3)).astype(np.float32) * 0.3
+    b = rng.standard_normal((3, 32, 32, 3)).astype(np.float32) * 0.3
+    batch = lpips_batch(a, b, lpips_model=m)
+    assert batch.shape == (3,)
+    for j in range(3):
+        one = lpips_distance(a[j].transpose(2, 0, 1), b[j].transpose(2, 0, 1), lpips_model=m)
+        np.testing.assert_allclose(batch[j], one, rtol=1e-5, atol=1e-6)
+
+
+def test_lpips_and_clip_batch_gated_nan():
+    from clip_codec_tpu.eval.metrics import clip_similarity_batch, lpips_batch
+
+    a = np.zeros((2, 16, 16, 3), np.float32)
+    assert np.isnan(lpips_batch(a, a, lpips_model=None)).all() or True  # singleton may be None
+    # force the no-weights path explicitly
+    import clip_codec_tpu.eval.metrics as M
+
+    old_l, old_lt = M._LPIPS_SINGLETON, M._LPIPS_TRIED
+    old_c, old_ct = M._CLIP_SINGLETON, M._CLIP_TRIED
+    M._LPIPS_SINGLETON, M._LPIPS_TRIED = None, True
+    M._CLIP_SINGLETON, M._CLIP_TRIED = None, True
+    try:
+        assert np.isnan(lpips_batch(a, a)).all()
+        assert np.isnan(clip_similarity_batch(a, a)).all()
+    finally:
+        M._LPIPS_SINGLETON, M._LPIPS_TRIED = old_l, old_lt
+        M._CLIP_SINGLETON, M._CLIP_TRIED = old_c, old_ct
