@@ -172,6 +172,69 @@ def bench_vae_decode(B=1, latent=64):
     print(f"[sd-vae] decode {dt*1e3:.1f}ms/image-batch on device (B={B}, 512px out)", flush=True)
 
 
+def bench_adapter_train_product(B=4, latent=64, steps=20):
+    """The PRODUCT SD adapter train step (train.sd_diffusion_train.
+    make_sd_train_step) at full SD-1.5 scale: frozen 860M UNet + VAE as jit
+    ARGUMENTS, eps-MSE-only config (recon/tv/dino/lpips off) so the number
+    is comparable to the scan-based bench below. Per-step time from N
+    back-to-back dispatches with a single end barrier (the tunnel pipelines
+    async dispatches against the ~130ms device step)."""
+    import optax
+
+    from clip_codec_tpu.models.sd import SD15_VAE, StableDiffusionDecoder
+    from clip_codec_tpu.models.sd.vae import AutoencoderKL
+    from clip_codec_tpu.train.sd_diffusion_train import SDTrainConfig, make_sd_train_step
+
+    unet = SDUNet(SD15_UNET, dtype=jnp.bfloat16)
+    z = jnp.zeros((B, 512), jnp.float32)
+    lat0 = jnp.zeros((B, latent, latent, 4), jnp.float32)
+    gt = jnp.zeros((B, 8, 8, 3), jnp.float32)  # unused with recon/tv/dino/lpips off
+    w = jnp.ones((B,), jnp.float32)
+    t = jnp.zeros((B,), jnp.int32)
+
+    u_shapes = None
+    from clip_codec_tpu.models.sd import SDClipAdapter
+
+    adapter = SDClipAdapter(n_tokens=8)
+    a_shapes = jax.eval_shape(adapter.init, jax.random.PRNGKey(0), z)["params"]
+    ctx_shape = jax.eval_shape(lambda p, z: adapter.apply({"params": p}, z), a_shapes, z)
+    u_shapes = jax.eval_shape(
+        unet.init, jax.random.PRNGKey(0), lat0, t, jnp.zeros(ctx_shape.shape, jnp.float32)
+    )["params"]
+    vae = AutoencoderKL(SD15_VAE, dtype=jnp.bfloat16)
+    v_shapes = jax.eval_shape(
+        vae.init, jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), jax.random.PRNGKey(1)
+    )["params"]
+    a_params = jax.device_put(random_params_like(a_shapes))
+    frozen = {
+        "unet": jax.device_put(random_params_like(u_shapes)),
+        "vae": jax.device_put(random_params_like(v_shapes, seed=1)),
+    }
+    dec = StableDiffusionDecoder(
+        frozen["vae"], frozen["unet"], adapter_params=a_params, clip_dim=512, n_tokens=8,
+    )
+    cfg = SDTrainConfig(recon_w=0.0, tv_w=0.0, clip_w=0.0, perc_w=0.0)
+    tx = optax.adamw(1e-4)
+    opt_state = jax.device_put(tx.init(jax.tree_util.tree_map(np.asarray, a_params)))
+    step = make_sd_train_step(dec, tx, cfg)
+
+    rngs = jax.random.split(jax.random.PRNGKey(0), steps + 2)
+    t0 = time.time()
+    a_params, opt_state, loss = step(a_params, opt_state, frozen, z, lat0, gt, w, rngs[0], perc_on=False)
+    assert np.isfinite(float(loss))
+    print(f"[sd-train product] compile+first {time.time()-t0:.1f}s", flush=True)
+    t0 = time.time()
+    for i in range(steps):
+        a_params, opt_state, loss = step(a_params, opt_state, frozen, z, lat0, gt, w, rngs[i + 1], perc_on=False)
+    assert np.isfinite(float(loss))  # end barrier
+    dt = (time.time() - t0) / steps
+    print(
+        f"[sd-train product] make_sd_train_step (eps-MSE, frozen 860M UNet as jit arg, "
+        f"B={B}): {dt*1e3:.1f} ms/step incl. dispatch = {B/dt:.1f} img/s",
+        flush=True,
+    )
+
+
 def bench_adapter_train(B=4, latent=64):
     """One SD adapter train step (eps-MSE, the dominant term): adapter fwd +
     frozen-UNet fwd + backprop through the UNet to the adapter + AdamW.
@@ -236,6 +299,7 @@ if __name__ == "__main__":
 
     if "train" in sys.argv[1:]:
         bench_adapter_train()
+        bench_adapter_train_product()
         sys.exit(0)
     if "int8" in sys.argv[1:] or "int8static" in sys.argv[1:]:
         static = "int8static" in sys.argv[1:]

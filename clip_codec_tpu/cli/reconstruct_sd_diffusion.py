@@ -65,7 +65,18 @@ def main() -> None:
     ap.add_argument("--inv_backend", type=str, default="auto", choices=["auto", "dino", "clip"])
     ap.add_argument("--inv_dino_model", type=str, default="vit_base_patch14_dinov2.lvd142m")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--heads", type=int, default=8,
+                    help="UNet attention heads (not recoverable from kernel shapes)")
+    from ._common import add_int8_flag
+
+    add_int8_flag(ap)
     args = ap.parse_args()
+    if getattr(args, "int8", False) and args.inv_weight > 0:
+        raise SystemExit(
+            "--int8 is incompatible with inversion guidance (round() has zero "
+            "gradient, so the latent gradient through int8 convs vanishes); "
+            "pass --inv_weight 0"
+        )
     apply_device_flag(args.device)
 
     unet_path = os.environ.get("CLIP_CODEC_SD_UNET_WEIGHTS")
@@ -83,16 +94,21 @@ def main() -> None:
 
     from ..models.sd import StableDiffusionDecoder
     from ..train.train_decoder import decode_embedding
-    from ..weights.convert_sd import load_sd_params
+    from ..weights.convert_sd import infer_sd_configs, load_sd_params
 
     z = decode_embedding(args.bitstream, args.store_dir)  # (1, dim), L2-normalized
     dim = z.shape[1]
 
     unet_params, vae_params = load_sd_params(unet_path, vae_path)
+    # Architecture recovered from the kernel shapes (head count is the one
+    # free parameter) — any converted checkpoint serves without config flags.
+    unet_cfg, vae_cfg = infer_sd_configs(unet_params, vae_params, heads=args.heads)
     dec = StableDiffusionDecoder(
         vae_params, unet_params,
         adapter_params=load_adapter_params(args.adapter),
         clip_dim=dim, n_tokens=8,
+        unet_cfg=unet_cfg, vae_cfg=vae_cfg,
+        int8=True if args.int8 else None,
     )
 
     inv_use = args.inv_weight > 0
@@ -132,7 +148,9 @@ def main() -> None:
                 x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
                 return denc.model.apply(denc.params, x).astype(jnp.float32)
 
-    shape = (1, args.size // 8, args.size // 8, 4)
+    # Latent geometry from the (inferred) VAE config: 8x for SD-1.5.
+    f = 2 ** (len(vae_cfg.block_out) - 1)
+    shape = (1, args.size // f, args.size // f, vae_cfg.latent_ch)
     zj = jnp.asarray(z)
     if inv_use:
         img = dec.sample_with_inversion(

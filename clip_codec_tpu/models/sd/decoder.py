@@ -95,9 +95,15 @@ class StableDiffusionDecoder:
         vae_cfg: VAEConfig = SD15_VAE,
         dtype=jnp.bfloat16,
         rng: Optional[jax.Array] = None,
+        int8: Optional[bool] = None,
+        flash: Optional[bool] = None,
     ) -> None:
-        self.unet = SDUNet(unet_cfg, dtype=dtype)
-        self.vae = AutoencoderKL(vae_cfg, dtype=dtype)
+        # int8: UNet interior on the int8 MXU (serving mode; measured +9.4%
+        # at B=8, quality trade in docs/performance.md). The VAE stays fp
+        # (decode quality, and it is a small share of sampling time).
+        # flash: Pallas flash attention (None = auto on TPU).
+        self.unet = SDUNet(unet_cfg, dtype=dtype, int8=int8, flash=flash)
+        self.vae = AutoencoderKL(vae_cfg, dtype=dtype, flash=flash)
         self.adapter = SDClipAdapter(
             in_dim=clip_dim, ctx_dim=unet_cfg.cross_dim, n_tokens=n_tokens, dtype=jnp.float32
         )

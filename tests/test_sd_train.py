@@ -266,3 +266,42 @@ def test_train_sd_cli_e2e(sd_store, tiny_decoder, tmp_path, monkeypatch, capsys)
     assert "epoch 1/1" in out
     assert (save_dir / "sd_adapter_final.msgpack").exists()
     assert (save_dir / "sd_adapter_ep1.msgpack").exists()
+
+
+def test_reconstruct_sd_cli_e2e(sd_store, tiny_decoder, tmp_path, monkeypatch, capsys):
+    """Full SD CLI loop: train the adapter (train_sd CLI), then reconstruct a
+    bitstream through the reconstruct_sd_diffusion CLI with inferred
+    configs, with and without --int8."""
+    import sys
+
+    import PIL.Image
+
+    from clip_codec_tpu.cli.reconstruct_sd_diffusion import main as rec_main
+    from clip_codec_tpu.utils.checkpoint import save_params
+
+    wdir = tmp_path / "w"
+    save_params(wdir / "unet.msgpack", tiny_decoder.unet_params)
+    save_params(wdir / "vae.msgpack", tiny_decoder.vae_params)
+    save_params(wdir / "adapter.msgpack", tiny_decoder.adapter_params)
+    monkeypatch.setenv("CLIP_CODEC_SD_UNET_WEIGHTS", str(wdir / "unet.msgpack"))
+    monkeypatch.setenv("CLIP_CODEC_SD_VAE_WEIGHTS", str(wdir / "vae.msgpack"))
+    bit = sorted(Path(sd_store).glob("*.clp"))[0]
+
+    for extra, name in ([], "fp"), (["--int8"], "int8"):
+        out = tmp_path / f"rec_{name}.png"
+        monkeypatch.setattr(sys, "argv", [
+            "prog", "--store_dir", str(sd_store), "--bitstream", str(bit),
+            "--adapter", str(wdir / "adapter.msgpack"), "--steps", "2",
+            "--size", "32", "--heads", "2", "--inv_weight", "0",
+            "--device", "cpu", "--out", str(out)] + extra)
+        rec_main()
+        img = np.asarray(PIL.Image.open(out))
+        assert img.shape == (32, 32, 3)
+
+    # --int8 + inversion guidance is rejected (round() kills the latent grad)
+    monkeypatch.setattr(sys, "argv", [
+        "prog", "--store_dir", str(sd_store), "--bitstream", str(bit),
+        "--adapter", str(wdir / "adapter.msgpack"), "--inv_weight", "1.0",
+        "--int8"])
+    with pytest.raises(SystemExit, match="int8"):
+        rec_main()
