@@ -39,6 +39,9 @@ def main() -> None:
     ap.add_argument("--device", type=str, default=default_device())
     ap.add_argument("--clip_weights", type=str, default=None,
                     help="enable the CLIP-alignment loss term with these CLIP weights")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize ResBlocks in the backward pass (more "
+                         "FLOPs, much less activation memory; for 512px+ batches)")
     ap.add_argument("--spatial_shard", type=int, default=1,
                     help="also shard image height over K devices (memory lever "
                          "for 512px+; out_size must divide by K)")
@@ -77,7 +80,7 @@ def main() -> None:
         clip_w=args.clip_w, tv_w=args.tv_w, base=args.base,
         ch_mult=tuple(int(c) for c in args.ch_mult.split(",")),
         bf16=not args.no_bf16, seed=args.seed, log_every=args.log_every,
-        ema_decay=args.ema_decay,
+        ema_decay=args.ema_decay, remat=args.remat,
     )
     mesh = None
     spatial = args.spatial_shard > 1

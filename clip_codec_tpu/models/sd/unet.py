@@ -64,11 +64,17 @@ class SDUNet(nn.Module):
     # projections + GEGLU + resnet/up/down convs; conv_in/conv_out stay fp,
     # the standard first/last-layer exemption). None = process default.
     int8: "bool | None" = None
+    # Rematerialize resnet/transformer blocks in the backward pass — the
+    # memory lever for adapter training (backprop through this frozen 860M
+    # tower at 512px latents); identical math, forward-only unaffected.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, latents: jax.Array, t: jax.Array, context: jax.Array) -> jax.Array:
         """latents: (B, H, W, 4); t: (B,) int/float; context: (B, S, cross_dim)."""
         c = self.cfg
+        RES = nn.remat(ResnetBlock2D) if self.remat else ResnetBlock2D
+        TRF = nn.remat(Transformer2D) if self.remat else Transformer2D
         n_blocks = len(c.block_out)
         has_attn = [i < n_blocks - 1 for i in range(n_blocks)]  # SD: last down block plain
 
@@ -86,9 +92,9 @@ class SDUNet(nn.Module):
         # ----- down path
         for i, ch in enumerate(c.block_out):
             for j in range(c.layers_per_block):
-                x = ResnetBlock2D(ch, c.temb_dim, dtype=self.dtype, int8=self.int8, name=f"down_{i}_res_{j}")(x, temb)
+                x = RES(ch, c.temb_dim, dtype=self.dtype, int8=self.int8, name=f"down_{i}_res_{j}")(x, temb)
                 if has_attn[i]:
-                    x = Transformer2D(ch, c.heads, dtype=self.dtype, flash=self.flash, int8=self.int8, name=f"down_{i}_attn_{j}")(x, context)
+                    x = TRF(ch, c.heads, dtype=self.dtype, flash=self.flash, int8=self.int8, name=f"down_{i}_attn_{j}")(x, context)
                 skips.append(x)
             if i < n_blocks - 1:
                 x = Downsample2D(ch, dtype=self.dtype, int8=self.int8, name=f"down_{i}_ds")(x)
@@ -96,18 +102,18 @@ class SDUNet(nn.Module):
 
         # ----- mid
         ch = c.block_out[-1]
-        x = ResnetBlock2D(ch, c.temb_dim, dtype=self.dtype, int8=self.int8, name="mid_res_0")(x, temb)
-        x = Transformer2D(ch, c.heads, dtype=self.dtype, flash=self.flash, int8=self.int8, name="mid_attn")(x, context)
-        x = ResnetBlock2D(ch, c.temb_dim, dtype=self.dtype, int8=self.int8, name="mid_res_1")(x, temb)
+        x = RES(ch, c.temb_dim, dtype=self.dtype, int8=self.int8, name="mid_res_0")(x, temb)
+        x = TRF(ch, c.heads, dtype=self.dtype, flash=self.flash, int8=self.int8, name="mid_attn")(x, context)
+        x = RES(ch, c.temb_dim, dtype=self.dtype, int8=self.int8, name="mid_res_1")(x, temb)
 
         # ----- up path (concat skips, layers_per_block+1 resnets per block)
         for k, i in enumerate(reversed(range(n_blocks))):
             ch = c.block_out[i]
             for j in range(c.layers_per_block + 1):
                 x = jnp.concatenate([x, skips.pop()], axis=-1)
-                x = ResnetBlock2D(ch, c.temb_dim, dtype=self.dtype, int8=self.int8, name=f"up_{k}_res_{j}")(x, temb)
+                x = RES(ch, c.temb_dim, dtype=self.dtype, int8=self.int8, name=f"up_{k}_res_{j}")(x, temb)
                 if has_attn[i]:
-                    x = Transformer2D(ch, c.heads, dtype=self.dtype, flash=self.flash, int8=self.int8, name=f"up_{k}_attn_{j}")(x, context)
+                    x = TRF(ch, c.heads, dtype=self.dtype, flash=self.flash, int8=self.int8, name=f"up_{k}_attn_{j}")(x, context)
             if i > 0:
                 x = Upsample2D(ch, dtype=self.dtype, int8=self.int8, name=f"up_{k}_us")(x)
 

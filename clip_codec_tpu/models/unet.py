@@ -101,6 +101,11 @@ class CLIPCondUNet(nn.Module):
     # (ops.set_int8_conv), True/False pins this model — so an int8 server
     # and a bf16 parity model can coexist in one process.
     int8: "bool | None" = None
+    # Rematerialize each ResBlock in the backward pass (jax.checkpoint):
+    # trades ~1 extra forward of FLOPs for dropping the block's activation
+    # chain from HBM — the memory lever for 512px+ training batches.
+    # Identical math/params; forward-only use is unaffected.
+    remat: bool = False
     # Upsamplers as phase-decomposed dense convs (identical math/params).
     # Measured on chip (bench_profile.py): the decomposition LOSES on the
     # full DDIM path (9.2 vs 11.5 img/s — the phase interleave adds a full
@@ -129,13 +134,14 @@ class CLIPCondUNet(nn.Module):
         from ..ops.int8 import conv_module
 
         Conv = conv_module(self.int8)  # nn.Conv, or Int8Conv in int8 serving mode
+        RB = nn.remat(ResBlock) if self.remat else ResBlock
 
         # Encoder: skip captured after the 2 ResBlocks, before downsample.
         skips = []
         ch = self.base
         for i, m in enumerate(self.ch_mult):
-            x = ResBlock(ch, dtype=self.dtype, int8=self.int8, name=f"down_{i}_rb0")(x, h)
-            x = ResBlock(ch, dtype=self.dtype, int8=self.int8, name=f"down_{i}_rb1")(x, h)
+            x = RB(ch, dtype=self.dtype, int8=self.int8, name=f"down_{i}_rb0")(x, h)
+            x = RB(ch, dtype=self.dtype, int8=self.int8, name=f"down_{i}_rb1")(x, h)
             skips.append(x)
             x = Conv(
                 ch * m, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
@@ -143,13 +149,13 @@ class CLIPCondUNet(nn.Module):
             )(x)
             ch = ch * m
 
-        x = ResBlock(ch, dtype=self.dtype, int8=self.int8, name="mid1")(x, h)
-        x = ResBlock(ch, dtype=self.dtype, int8=self.int8, name="mid2")(x, h)
+        x = RB(ch, dtype=self.dtype, int8=self.int8, name="mid1")(x, h)
+        x = RB(ch, dtype=self.dtype, int8=self.int8, name="mid2")(x, h)
 
         # Decoder with additive skips after each up-stage.
         for j, m in enumerate(reversed(self.ch_mult)):
-            x = ResBlock(ch, dtype=self.dtype, int8=self.int8, name=f"up_{j}_rb0")(x, h)
-            x = ResBlock(ch, dtype=self.dtype, int8=self.int8, name=f"up_{j}_rb1")(x, h)
+            x = RB(ch, dtype=self.dtype, int8=self.int8, name=f"up_{j}_rb0")(x, h)
+            x = RB(ch, dtype=self.dtype, int8=self.int8, name=f"up_{j}_rb1")(x, h)
             # padding (2,2) + transpose_kernel=True == torch ConvTranspose2d
             # (k=4, s=2, p=1): exact 2x upsample, numerically verified.
             x = ConvTranspose4x2(

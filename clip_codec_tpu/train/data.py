@@ -76,30 +76,6 @@ class StoreData:
         thread so PIL work overlaps device compute (the reference uses
         DataLoader workers for the same purpose, ``diffusion_train.py:101``);
         ``prefetch=0`` is fully synchronous."""
-        it = self._epoch_sync(batch_size, rng, shuffle)
-        if prefetch <= 0:
-            yield from it
-            return
-        import queue
-        import threading
+        from ..utils.batching import prefetch_iter
 
-        q: "queue.Queue" = queue.Queue(maxsize=prefetch)
-        _END = object()
-
-        def producer():
-            try:
-                for b in it:
-                    q.put(b)
-                q.put(_END)
-            except BaseException as e:  # propagate, never silently truncate the epoch
-                q.put(e)
-
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is _END:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        yield from prefetch_iter(self._epoch_sync(batch_size, rng, shuffle), prefetch)

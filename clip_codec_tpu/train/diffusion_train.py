@@ -71,6 +71,10 @@ class DiffusionTrainConfig:
     # 0.9999 is the usual diffusion setting). Sampling from the EMA weights
     # is standard practice the reference lacks — kept opt-in for parity.
     ema_decay: float = 0.0
+    # Rematerialize ResBlocks in the backward pass (jax.checkpoint): ~1
+    # extra forward of FLOPs for a large activation-memory cut — the lever
+    # for 512px+ batches that otherwise OOM a single chip.
+    remat: bool = False
 
 
 def make_train_step(
@@ -202,7 +206,7 @@ def train_diffusion(
 
     net = CLIPCondUNet(
         z_dim=data.z_dim, base=cfg.base, ch_mult=cfg.ch_mult, img_ch=3,
-        dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32,
+        dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32, remat=cfg.remat,
     )
     sched = NoiseSchedule.create(cfg.timesteps, cfg.schedule)
     tx = optax.adamw(cfg.lr)

@@ -335,12 +335,22 @@ def train_sd_diffusion(
     step = 0
     from ..utils.batching import padded_index_batches
 
+    def _epoch_batches(order):
+        # npz latent reads + PIL decodes on a host thread, overlapping the
+        # ~135ms device step (prefetch_iter; same idiom as StoreData.epoch)
+        def gen():
+            for idx, w in padded_index_batches(n, cfg.batch_size, order):
+                yield (idx, w) + data.batch(idx)
+
+        from ..utils.batching import prefetch_iter
+
+        return prefetch_iter(gen(), prefetch=2)
+
     for ep in range(start_epoch, cfg.epochs):
         order = host_rng.permutation(n)
         losses, wsums = [], []
         t0 = time.time()
-        for idx, w in padded_index_batches(n, cfg.batch_size, order):
-            z, lat0, img = data.batch(idx)
+        for idx, w, z, lat0, img in _epoch_batches(order):
             rng, srng = jax.random.split(rng)
             perc_on = bool(lpips_model is not None and step % cfg.perc_every == 0)
             z_d, lat_d, img_d, w_d = place_batch(z, lat0, img, np.asarray(w))

@@ -35,3 +35,35 @@ def padded_index_batches(
             idx = np.concatenate([idx, idx[np.zeros(pad, dtype=int)]])
             w = np.concatenate([w, np.zeros(pad, dtype=np.float32)])
         yield idx, w
+
+
+def prefetch_iter(it: Iterator, prefetch: int = 2) -> Iterator:
+    """Drain ``it`` on a daemon thread into a bounded queue so producer work
+    (PIL decode, npz reads) overlaps the consumer's device steps — the
+    DataLoader-workers equivalent for this single-process pipeline.
+    Exceptions propagate; ``prefetch <= 0`` is a passthrough."""
+    if prefetch <= 0:
+        yield from it
+        return
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    _END = object()
+
+    def producer():
+        try:
+            for item in it:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # propagate, never silently truncate
+            q.put(e)
+
+    threading.Thread(target=producer, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item

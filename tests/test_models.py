@@ -160,3 +160,51 @@ def test_phase_decomposed_upsampler_equivalence(rng):
     ya = np.asarray(a.apply(pa, x, z, t))
     yb = np.asarray(b.apply(pb, x, z, t))
     np.testing.assert_allclose(ya, yb, rtol=1e-5, atol=1e-6)
+
+
+def test_remat_exactness_and_grads():
+    """remat=True (jax.checkpoint around ResBlocks) changes memory, not
+    math: identical param tree, bit-equal forward, grads equal to
+    recompute-rounding tolerance."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from clip_codec_tpu.models import CLIPCondUNet
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
+    z = jnp.asarray(rng.standard_normal((2, 16)), jnp.float32)
+    t = jnp.asarray([3, 7], jnp.int32)
+    kw = dict(z_dim=16, base=8, ch_mult=(1, 2), img_ch=3)
+    p = CLIPCondUNet(**kw).init(jax.random.PRNGKey(0), x, z, t)["params"]
+    p2 = CLIPCondUNet(**kw, remat=True).init(jax.random.PRNGKey(0), x, z, t)["params"]
+    assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(p2)
+    y1 = CLIPCondUNet(**kw).apply({"params": p}, x, z, t)
+    y2 = CLIPCondUNet(**kw, remat=True).apply({"params": p}, x, z, t)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    g1 = jax.grad(lambda pp: jnp.sum(CLIPCondUNet(**kw).apply({"params": pp}, x, z, t) ** 2))(p)
+    g2 = jax.grad(lambda pp: jnp.sum(CLIPCondUNet(**kw, remat=True).apply({"params": pp}, x, z, t) ** 2))(p)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+
+
+def test_sd_remat_forward_matches():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from clip_codec_tpu.models.sd import SDUNet
+    from clip_codec_tpu.models.sd.unet import SDUNetConfig
+
+    cfg = SDUNetConfig(block_out=(8, 16), layers_per_block=1, cross_dim=16, heads=2, freq_dim=8)
+    rng = np.random.default_rng(1)
+    lat = jnp.asarray(rng.standard_normal((2, 8, 8, 4)), jnp.float32)
+    t = jnp.asarray([3, 7], jnp.int32)
+    ctx = jnp.asarray(rng.standard_normal((2, 3, 16)), jnp.float32)
+    ps = SDUNet(cfg).init(jax.random.PRNGKey(0), lat, t, ctx)["params"]
+    y1 = SDUNet(cfg).apply({"params": ps}, lat, t, ctx)
+    y2 = SDUNet(cfg, remat=True).apply({"params": ps}, lat, t, ctx)
+    # checkpoint boundaries change XLA fusion (and thus fp rounding) even in
+    # the forward — equality to fp32-noise tolerance is the correct bar
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-5, atol=2e-6)
