@@ -279,3 +279,70 @@ def test_spatial_sharded_train_step_matches_single_device(rng):
     assert np.allclose(float(l1), float(l8), rtol=1e-5)
     for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p8)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_two_process_sd_adapter_dp_matches_single_process():
+    """Round-3 SD adapter trainer on a REAL 2-process CPU cluster (gloo, 4
+    virtual devices per process): loss and updated-adapter checksum must
+    match across processes and vs the single-process oracle — the multi-host
+    path of train_sd_diffusion(mesh=...)."""
+    import os
+    import re
+    import socket
+    import subprocess
+    import sys
+
+    import optax
+
+    from clip_codec_tpu.train.sd_diffusion_train import SDTrainConfig, make_sd_train_step
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    try:
+        from dcn_sd_worker import build_decoder, global_batch
+    finally:
+        sys.path.pop(0)
+
+    # --- single-process oracle (full batch, one device) ---
+    dec = build_decoder()
+    cfg = SDTrainConfig(timesteps=50, out_size=16)
+    tx = optax.adamw(1e-3)
+    step = make_sd_train_step(dec, tx, cfg)
+    z, lat, img, w = global_batch()
+    frozen = {"unet": dec.unet_params, "vae": dec.vae_params}
+    a_params, _, loss = step(
+        jax.tree_util.tree_map(jnp.copy, dec.adapter_params), tx.init(dec.adapter_params),
+        frozen, jnp.asarray(z), jnp.asarray(lat), jnp.asarray(img), jnp.asarray(w),
+        jax.random.PRNGKey(1), False,
+    )
+    oracle_loss = float(loss)
+    oracle_sum = sum(
+        float(jnp.sum(jnp.abs(l.astype(jnp.float64))))
+        for l in jax.tree_util.tree_leaves(a_params)
+    )
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    worker = str(__import__("pathlib").Path(__file__).parent / "dcn_sd_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", str(port)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for i in range(2)
+    ]
+    results = {}
+    for i, p in enumerate(procs):
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"worker {i} failed:\n{err[-2000:]}"
+        m = re.search(r"RESULT pid=(\d) loss=([\d.eE+-]+) checksum=([\d.eE+-]+)", out)
+        assert m, out
+        results[int(m.group(1))] = (float(m.group(2)), float(m.group(3)))
+
+    (l0, c0), (l1, c1) = results[0], results[1]
+    assert l0 == l1 and c0 == c1
+    np.testing.assert_allclose(l0, oracle_loss, rtol=2e-5)
+    np.testing.assert_allclose(c0, oracle_sum, rtol=2e-5)
