@@ -33,7 +33,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 A100_REFERENCE_IMGS_PER_SEC = 2.0  # documented estimate, see module docstring
 
 STEPS = 50
-SIZE = 256
+SIZE = int(os.environ.get("CLIP_CODEC_BENCH_SIZE", "256"))  # 512 = stretch config
 BATCH = int(os.environ.get("CLIP_CODEC_BENCH_BATCH", "16"))
 
 # Dense bf16 peak per chip, by device_kind prefix. The MFU field makes the
