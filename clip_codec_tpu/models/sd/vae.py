@@ -34,6 +34,10 @@ class VAEEncoder(nn.Module):
     cfg: VAEConfig = SD15_VAE
     dtype: Dtype = jnp.float32
     flash: "bool | None" = None
+    # The VAE stays fp even when the process-wide int8 switch is on: decode
+    # quality is the product, and round() would zero the recon/TV/DINO/LPIPS
+    # gradients through the decode in the adapter trainer (review r3 #2).
+    int8: "bool | None" = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -43,13 +47,13 @@ class VAEEncoder(nn.Module):
         )
         for i, ch in enumerate(c.block_out):
             for j in range(c.layers_per_block):
-                h = ResnetBlock2D(ch, None, dtype=self.dtype, name=f"down_{i}_res_{j}")(h)
+                h = ResnetBlock2D(ch, None, dtype=self.dtype, int8=self.int8, name=f"down_{i}_res_{j}")(h)
             if i < len(c.block_out) - 1:
-                h = Downsample2D(ch, asymmetric=True, dtype=self.dtype, name=f"down_{i}_ds")(h)
+                h = Downsample2D(ch, asymmetric=True, dtype=self.dtype, int8=self.int8, name=f"down_{i}_ds")(h)
         ch = c.block_out[-1]
-        h = ResnetBlock2D(ch, None, dtype=self.dtype, name="mid_res_0")(h)
+        h = ResnetBlock2D(ch, None, dtype=self.dtype, int8=self.int8, name="mid_res_0")(h)
         h = AttnBlockVAE(ch, dtype=self.dtype, flash=self.flash, name="mid_attn")(h)
-        h = ResnetBlock2D(ch, None, dtype=self.dtype, name="mid_res_1")(h)
+        h = ResnetBlock2D(ch, None, dtype=self.dtype, int8=self.int8, name="mid_res_1")(h)
         s = self.param("out_norm_scale", nn.initializers.ones, (ch,), jnp.float32)
         b = self.param("out_norm_bias", nn.initializers.zeros, (ch,), jnp.float32)
         h = nn.silu(group_norm32(h, s, b, eps=1e-6))
@@ -61,6 +65,7 @@ class VAEDecoder(nn.Module):
     cfg: VAEConfig = SD15_VAE
     dtype: Dtype = jnp.float32
     flash: "bool | None" = None
+    int8: "bool | None" = False  # see VAEEncoder
 
     @nn.compact
     def __call__(self, z: jax.Array) -> jax.Array:
@@ -68,15 +73,15 @@ class VAEDecoder(nn.Module):
         h = nn.Conv(c.latent_ch, (1, 1), dtype=self.dtype, name="post_quant_conv")(z.astype(self.dtype))
         ch = c.block_out[-1]
         h = nn.Conv(ch, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv_in")(h)
-        h = ResnetBlock2D(ch, None, dtype=self.dtype, name="mid_res_0")(h)
+        h = ResnetBlock2D(ch, None, dtype=self.dtype, int8=self.int8, name="mid_res_0")(h)
         h = AttnBlockVAE(ch, dtype=self.dtype, flash=self.flash, name="mid_attn")(h)
-        h = ResnetBlock2D(ch, None, dtype=self.dtype, name="mid_res_1")(h)
+        h = ResnetBlock2D(ch, None, dtype=self.dtype, int8=self.int8, name="mid_res_1")(h)
         for k, i in enumerate(reversed(range(len(c.block_out)))):
             ch = c.block_out[i]
             for j in range(c.layers_per_block + 1):
-                h = ResnetBlock2D(ch, None, dtype=self.dtype, name=f"up_{k}_res_{j}")(h)
+                h = ResnetBlock2D(ch, None, dtype=self.dtype, int8=self.int8, name=f"up_{k}_res_{j}")(h)
             if k < len(c.block_out) - 1:
-                h = Upsample2D(ch, dtype=self.dtype, name=f"up_{k}_us")(h)
+                h = Upsample2D(ch, dtype=self.dtype, int8=self.int8, name=f"up_{k}_us")(h)
         s = self.param("out_norm_scale", nn.initializers.ones, (ch,), jnp.float32)
         b = self.param("out_norm_bias", nn.initializers.zeros, (ch,), jnp.float32)
         h = nn.silu(group_norm32(h, s, b, eps=1e-6))
@@ -90,10 +95,12 @@ class AutoencoderKL(nn.Module):
     dtype: Dtype = jnp.float32
     # Pallas flash attention in the mid-block: None = auto (TPU on).
     flash: "bool | None" = None
+    # fp convs regardless of the process int8 switch (see VAEEncoder).
+    int8: "bool | None" = False
 
     def setup(self):
-        self.encoder = VAEEncoder(self.cfg, dtype=self.dtype, flash=self.flash)
-        self.decoder = VAEDecoder(self.cfg, dtype=self.dtype, flash=self.flash)
+        self.encoder = VAEEncoder(self.cfg, dtype=self.dtype, flash=self.flash, int8=self.int8)
+        self.decoder = VAEDecoder(self.cfg, dtype=self.dtype, flash=self.flash, int8=self.int8)
 
     def encode_moments(self, x: jax.Array) -> jax.Array:
         """(B, H, W, 3) -> (B, H/8, W/8, 2*latent_ch) mean||logvar."""

@@ -134,11 +134,14 @@ class Int8Conv(nn.Module):
             if self.use_bias
             else None
         )
-        if self.is_mutable_collection("quant"):
+        if self.is_mutable_collection("quant") and not self.is_initializing():
             # Calibration pass (apply with mutable=['quant'], as
             # :func:`calibrate_int8` does): exact fp conv; record the
             # running absmax into the mutable 'quant' collection. No global
-            # flag — the apply itself declares the mode.
+            # flag — the apply itself declares the mode. The
+            # is_initializing() guard keeps Module.init (where every
+            # collection is mutable) from seeding bogus zero-input scales
+            # into the returned variables (review r3 #1).
             qv = self.variable("quant", "x_absmax", lambda: jnp.zeros((), jnp.float32))
             qv.value = jnp.maximum(qv.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
             dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
@@ -180,7 +183,8 @@ class Int8Dense(nn.Module):
             if self.use_bias
             else None
         )
-        if self.is_mutable_collection("quant"):
+        if self.is_mutable_collection("quant") and not self.is_initializing():
+            # see Int8Conv: init() must not seed calibration scales
             qv = self.variable("quant", "x_absmax", lambda: jnp.zeros((), jnp.float32))
             qv.value = jnp.maximum(qv.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
             y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype)).astype(jnp.float32)

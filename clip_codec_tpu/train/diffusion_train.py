@@ -336,12 +336,14 @@ def train_diffusion(
         # One host sync per epoch for metrics.
         ep_loss = float(np.average([float(l) for l in losses], weights=weights))
         imgs_per_sec = sum(weights) / max(time.time() - t0, 1e-9)
-        if jax.process_index() == 0:  # params are fully replicated
+        if jax.process_index() == 0:  # msgpack write: params fully replicated
             save_params(save_dir / f"diffusion_unet_ep{ep + 1}.msgpack", params)
-            state = {"params": params, "opt_state": opt_state, "epoch": ep + 1}
-            if use_ema:
-                state["ema_params"] = ema_params
-            checkpointer.save(ep + 1, state)
+        state = {"params": params, "opt_state": opt_state, "epoch": ep + 1}
+        if use_ema:
+            state["ema_params"] = ema_params
+        # orbax save is a cross-process collective: every process calls it
+        # (a process-0 gate deadlocks multi-host runs at the save barrier).
+        checkpointer.save(ep + 1, state)
         logger.epoch(ep + 1, cfg.epochs, ep_loss, imgs_per_sec)
     if jax.process_index() == 0:
         save_params(final_path, params)

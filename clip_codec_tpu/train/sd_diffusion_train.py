@@ -249,11 +249,13 @@ def train_sd_diffusion(
     pixel trainer. ``resume=True`` continues from the latest orbax
     full-state checkpoint (adapter + optimizer + epoch + EMA).
     """
+    import dataclasses
+
     cfg = config or SDTrainConfig(epochs=epochs, batch_size=batch_size, lr=lr)
-    if out_size is not None:
-        cfg.out_size = int(out_size)
-    elif image_size is not None:
-        cfg.out_size = int(image_size)
+    size_override = out_size if out_size is not None else image_size
+    if size_override is not None:
+        # replace, never mutate: the caller may reuse its config object
+        cfg = dataclasses.replace(cfg, out_size=int(size_override))
     save_dir = Path(save_dir or store_dir)
     data = SDStoreData(store_dir, image_size=cfg.out_size)
     tx = optax.adamw(cfg.lr)
@@ -369,12 +371,15 @@ def train_sd_diffusion(
             step += 1
             logger.step(step, loss)
         ep_loss = float(np.average([float(l) for l in losses], weights=wsums))
-        if jax.process_index() == 0:
+        if jax.process_index() == 0:  # msgpack write: replicated arrays, host-readable
             save_params(save_dir / f"sd_adapter_ep{ep + 1}.msgpack", adapter_params)
-            state = {"adapter": adapter_params, "opt_state": opt_state, "epoch": ep + 1}
-            if use_ema:
-                state["ema_params"] = ema_params
-            checkpointer.save(ep + 1, state)
+        state = {"adapter": adapter_params, "opt_state": opt_state, "epoch": ep + 1}
+        if use_ema:
+            state["ema_params"] = ema_params
+        # orbax save is a cross-process collective (multihost sync barrier):
+        # EVERY process must call it or a --distributed run deadlocks at the
+        # first epoch end (review r3 #3).
+        checkpointer.save(ep + 1, state)
         logger.epoch(ep + 1, cfg.epochs, ep_loss, sum(wsums) / max(time.time() - t0, 1e-9))
     final = Path(save_dir) / "sd_adapter_final.msgpack"
     if jax.process_index() == 0:

@@ -250,3 +250,41 @@ def test_sd_unet_int8_static_calibration():
     y_fp = np.asarray(SDUNet(cfg, int8=False).apply({"params": params}, lat, t, ctx))
     rel = np.linalg.norm(y_sta - y_fp) / np.linalg.norm(y_fp)
     assert 0 < rel < 0.25, rel
+
+
+def test_init_does_not_seed_calibration_scales():
+    """Review r3 #1: Module.init (where every collection is mutable) must
+    NOT take the calibration branch — init of an int8 model returns only
+    'params', and applying the full init dict equals the dynamic path."""
+    net = CLIPCondUNet(z_dim=16, base=8, ch_mult=(1, 2), img_ch=3, int8=True)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
+    z = jnp.asarray(rng.standard_normal((2, 16)), jnp.float32)
+    t = jnp.asarray([5, 9], jnp.int32)
+    variables = net.init(jax.random.PRNGKey(0), x, z, t)
+    assert set(variables.keys()) == {"params"}, (
+        f"init leaked collections: {sorted(variables)}"
+    )
+    full = np.asarray(net.apply(variables, x, z, t))
+    dyn = np.asarray(net.apply({"params": variables["params"]}, x, z, t))
+    np.testing.assert_array_equal(full, dyn)
+
+
+def test_sd_vae_stays_fp_under_process_int8_switch():
+    """Review r3 #2: the VAE is pinned fp — the process-wide int8 switch
+    (cli --int8 path) must not change a single bit of VAE encode/decode."""
+    from clip_codec_tpu.models.sd import AutoencoderKL
+    from clip_codec_tpu.models.sd.vae import VAEConfig
+
+    cfg = VAEConfig(block_out=(8, 16), layers_per_block=1)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 3)), jnp.float32)
+    vae = AutoencoderKL(cfg)
+    params = vae.init(jax.random.PRNGKey(0), x, jax.random.PRNGKey(1))["params"]
+    want = np.asarray(vae.apply({"params": params}, x, jax.random.PRNGKey(2)))
+    set_int8_conv(True)
+    try:
+        got = np.asarray(AutoencoderKL(cfg).apply({"params": params}, x, jax.random.PRNGKey(2)))
+    finally:
+        set_int8_conv(False)
+    np.testing.assert_array_equal(got, want)
