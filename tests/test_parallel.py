@@ -346,3 +346,35 @@ def test_two_process_sd_adapter_dp_matches_single_process():
     assert l0 == l1 and c0 == c1
     np.testing.assert_allclose(l0, oracle_loss, rtol=2e-5)
     np.testing.assert_allclose(c0, oracle_sum, rtol=2e-5)
+
+
+def test_two_process_sd_trainer_full_loop_with_orbax():
+    """The FULL train_sd_diffusion epoch loop on a real 2-process cluster:
+    per-epoch orbax saves are cross-process collectives — this deadlocks
+    within the 600s timeout if any process skips the save barrier
+    (review r3 #3 regression)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+    import tempfile
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    shared = tempfile.mkdtemp(prefix="sd_dcn_")
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    worker = str(__import__("pathlib").Path(__file__).parent / "dcn_sd_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", str(port), "loop", shared],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for i in range(2)
+    ]
+    for i, p in enumerate(procs):
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"worker {i} failed:\n{err[-2000:]}"
+        assert f"loop_ok=True" in out, out
