@@ -179,59 +179,95 @@ class StableDiffusionDecoder:
         against ``z_target`` -> d(loss)/d(latent), then a global-norm-
         normalized gradient step ``lat -= inv_weight * g/(|g|+1e-8)`` before
         the DDIM update. ``embed_fn`` maps [-1,1] NHWC images to embeddings
-        (CLIP or DINOv2 — auto-picked by the CLI from the bitstream dim)."""
+        (CLIP or DINOv2 — auto-picked by the CLI from the bitstream dim).
+
+        The whole trajectory is ONE jitted program; the frozen UNet/VAE and
+        adapter parameter trees ride it as ARGUMENTS — at SD-1.5 scale a
+        closure-captured UNet serializes ~3.4 GB into the program body,
+        which breaks remote-compile transports (same rule as the trainer;
+        pinned by a no-large-constants regression test)."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        rng, init_rng = jax.random.split(rng)
-        lat = jax.random.normal(init_rng, shape, dtype=jnp.float32)
-
-        cond = self.adapter.apply({"params": self.adapter_params}, z_clip)
-        uncond = self.adapter.apply({"params": self.adapter_params}, jnp.zeros_like(z_clip))
-        z_tgt = z_target / jnp.maximum(jnp.linalg.norm(z_target, axis=-1, keepdims=True), 1e-9)
-
-        ts = sd_ddim_timesteps(steps)
-        ac = self.tables.alphas_cumprod
-        abt = jnp.asarray(ac[ts], jnp.float32)
-        prev_ts = ts - (1000 // steps)
-        ab_prev = jnp.asarray(
-            np.where(prev_ts >= 0, ac[np.maximum(prev_ts, 0)], self.tables.final_alpha_cumprod),
-            jnp.float32,
+        return _cfg_ddim_sample(
+            self.unet, self.vae, self.adapter,
+            self.unet_params, self.vae_params, self.adapter_params,
+            z_clip, z_target, rng,
+            embed_fn=embed_fn, shape=tuple(shape), steps=int(steps),
+            eta=float(eta), guidance_scale=float(guidance_scale),
+            inv_weight=float(inv_weight), inv_every=int(inv_every),
+            decode_pixels=bool(decode_pixels), scaling=self.scaling_factor,
         )
-        t_stack = jnp.asarray(ts, jnp.int32)
-        inv_gate = jnp.asarray((np.arange(steps) % max(1, inv_every)) == 0)
 
-        def unet_eps(lat, t_b, ctx):
-            return self.unet.apply({"params": self.unet_params}, lat, t_b, ctx).astype(jnp.float32)
 
-        def feat_loss(lat, eps, a_t):
-            lat_x0 = (lat - jnp.sqrt(1 - a_t) * jax.lax.stop_gradient(eps)) / jnp.sqrt(a_t)
-            x0 = jnp.clip(self.decode(lat_x0).astype(jnp.float32), -1.0, 1.0)
-            y = embed_fn(x0)
-            y = y / (jnp.linalg.norm(y, axis=-1, keepdims=True) + 1e-9)
-            return 1.0 - jnp.mean(jnp.sum(y * z_tgt, axis=-1))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "unet", "vae", "adapter", "embed_fn", "shape", "steps", "eta",
+        "guidance_scale", "inv_weight", "inv_every", "decode_pixels", "scaling",
+    ),
+)
+def _cfg_ddim_sample(
+    unet, vae, adapter, unet_params, vae_params, adapter_params,
+    z_clip, z_target, rng, *, embed_fn, shape, steps, eta, guidance_scale,
+    inv_weight, inv_every, decode_pixels, scaling,
+):
+    """CFG DDIM (+ optional inversion guidance) as one compiled program.
+    Modules and numbers are static (flax modules hash by structure); every
+    parameter tree is a traced argument, never a closure constant."""
+    rng, init_rng = jax.random.split(rng)
+    lat = jax.random.normal(init_rng, shape, dtype=jnp.float32)
 
-        grad_fn = jax.grad(feat_loss)
+    cond = adapter.apply({"params": adapter_params}, z_clip)
+    uncond = adapter.apply({"params": adapter_params}, jnp.zeros_like(z_clip))
+    z_tgt = z_target / jnp.maximum(jnp.linalg.norm(z_target, axis=-1, keepdims=True), 1e-9)
 
-        def step(carry, per):
-            lat, rng = carry
-            t, a_t, a_prev, do_inv = per
-            t_b = jnp.full((shape[0],), t, jnp.int32)
-            eps_u = unet_eps(lat, t_b, uncond)
-            eps_c = unet_eps(lat, t_b, cond)
-            eps = eps_u + guidance_scale * (eps_c - eps_u)
-            if inv_weight > 0:
-                def guided(lat):
-                    g = grad_fn(lat, eps, a_t)
-                    return lat - inv_weight * g / (jnp.linalg.norm(g) + 1e-8)
+    tables = SDSchedulerTables.create()
+    ts = sd_ddim_timesteps(steps)
+    ac = tables.alphas_cumprod
+    abt = jnp.asarray(ac[ts], jnp.float32)
+    prev_ts = ts - (1000 // steps)
+    ab_prev = jnp.asarray(
+        np.where(prev_ts >= 0, ac[np.maximum(prev_ts, 0)], tables.final_alpha_cumprod),
+        jnp.float32,
+    )
+    t_stack = jnp.asarray(ts, jnp.int32)
+    inv_gate = jnp.asarray((np.arange(steps) % max(1, inv_every)) == 0)
 
-                lat = jax.lax.cond(do_inv, guided, lambda l: l, lat)
-            x0 = (lat - jnp.sqrt(1 - a_t) * eps) / jnp.sqrt(a_t)
-            sigma = eta * jnp.sqrt((1 - a_prev) / (1 - a_t)) * jnp.sqrt(1 - a_t / a_prev)
-            dir_xt = jnp.sqrt(1 - a_prev - sigma**2) * eps
-            lat_new = jnp.sqrt(a_prev) * x0 + dir_xt
-            if eta > 0:
-                rng, nrng = jax.random.split(rng)
-                lat_new = lat_new + sigma * jax.random.normal(nrng, shape, jnp.float32)
-            return (lat_new, rng), None
+    def decode(lat_):
+        return vae.apply({"params": vae_params}, lat_ / scaling, method=AutoencoderKL.decode)
 
-        (lat, _), _ = jax.lax.scan(step, (lat, rng), (t_stack, abt, ab_prev, inv_gate))
-        return self.decode(lat) if decode_pixels else lat
+    def unet_eps(lat, t_b, ctx):
+        return unet.apply({"params": unet_params}, lat, t_b, ctx).astype(jnp.float32)
+
+    def feat_loss(lat, eps, a_t):
+        lat_x0 = (lat - jnp.sqrt(1 - a_t) * jax.lax.stop_gradient(eps)) / jnp.sqrt(a_t)
+        x0 = jnp.clip(decode(lat_x0).astype(jnp.float32), -1.0, 1.0)
+        y = embed_fn(x0)
+        y = y / (jnp.linalg.norm(y, axis=-1, keepdims=True) + 1e-9)
+        return 1.0 - jnp.mean(jnp.sum(y * z_tgt, axis=-1))
+
+    grad_fn = jax.grad(feat_loss)
+
+    def step(carry, per):
+        lat, rng = carry
+        t, a_t, a_prev, do_inv = per
+        t_b = jnp.full((shape[0],), t, jnp.int32)
+        eps_u = unet_eps(lat, t_b, uncond)
+        eps_c = unet_eps(lat, t_b, cond)
+        eps = eps_u + guidance_scale * (eps_c - eps_u)
+        if inv_weight > 0:
+            def guided(lat):
+                g = grad_fn(lat, eps, a_t)
+                return lat - inv_weight * g / (jnp.linalg.norm(g) + 1e-8)
+
+            lat = jax.lax.cond(do_inv, guided, lambda l: l, lat)
+        x0 = (lat - jnp.sqrt(1 - a_t) * eps) / jnp.sqrt(a_t)
+        sigma = eta * jnp.sqrt((1 - a_prev) / (1 - a_t)) * jnp.sqrt(1 - a_t / a_prev)
+        dir_xt = jnp.sqrt(1 - a_prev - sigma**2) * eps
+        lat_new = jnp.sqrt(a_prev) * x0 + dir_xt
+        if eta > 0:
+            rng, nrng = jax.random.split(rng)
+            lat_new = lat_new + sigma * jax.random.normal(nrng, shape, jnp.float32)
+        return (lat_new, rng), None
+
+    (lat, _), _ = jax.lax.scan(step, (lat, rng), (t_stack, abt, ab_prev, inv_gate))
+    return decode(lat) if decode_pixels else lat
