@@ -172,6 +172,49 @@ def bench_vae_decode(B=1, latent=64):
     print(f"[sd-vae] decode {dt*1e3:.1f}ms/image-batch on device (B={B}, 512px out)", flush=True)
 
 
+def bench_e2e_sample(B=8, latent=64, steps=30, int8=False):
+    """PRODUCT end-to-end SD serving: StableDiffusionDecoder.sample (CFG
+    DDIM + VAE decode as one jitted program, params as arguments) at full
+    SD-1.5 scale. Timing via repeat-dispatch + one-scalar fetch (the honest
+    device barrier over the axon tunnel)."""
+    from clip_codec_tpu.models.sd import SD15_VAE, StableDiffusionDecoder
+    from clip_codec_tpu.models.sd.vae import AutoencoderKL
+
+    unet = SDUNet(SD15_UNET, dtype=jnp.bfloat16)
+    vae = AutoencoderKL(SD15_VAE, dtype=jnp.bfloat16)
+    u_shapes = jax.eval_shape(
+        unet.init, jax.random.PRNGKey(0), jnp.zeros((1, latent, latent, 4)),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1, 8, 768)),
+    )["params"]
+    v_shapes = jax.eval_shape(
+        vae.init, jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), jax.random.PRNGKey(1)
+    )["params"]
+    dec = StableDiffusionDecoder(
+        jax.device_put(random_params_like(v_shapes, seed=1)),
+        jax.device_put(random_params_like(u_shapes)),
+        clip_dim=512, n_tokens=8, int8=True if int8 else None,
+    )
+    z = jnp.zeros((B, 512), jnp.float32)
+    shape = (B, latent, latent, 4)
+    mode = " int8" if int8 else ""
+
+    t0 = time.time()
+    out = dec.sample(z, shape, steps=steps, guidance_scale=5.0, rng=jax.random.PRNGKey(0))
+    assert np.isfinite(float(out[0, 0, 0, 0]))
+    print(f"[sd-e2e{mode}] compile+first {time.time()-t0:.1f}s", flush=True)
+    n = 3
+    t0 = time.time()
+    for i in range(n):
+        out = dec.sample(z, shape, steps=steps, guidance_scale=5.0, rng=jax.random.PRNGKey(i + 1))
+    float(out[0, 0, 0, 0])  # one-scalar completion barrier
+    dt = (time.time() - t0) / n
+    print(
+        f"[sd-e2e{mode}] DDIM-{steps}+CFG 512px B={B}: {dt:.2f}s/batch = "
+        f"{B/dt:.2f} img/s (incl. VAE decode)",
+        flush=True,
+    )
+
+
 def bench_adapter_train_product(B=4, latent=64, steps=20):
     """The PRODUCT SD adapter train step (train.sd_diffusion_train.
     make_sd_train_step) at full SD-1.5 scale: frozen 860M UNet + VAE as jit
@@ -300,6 +343,10 @@ if __name__ == "__main__":
     if "train" in sys.argv[1:]:
         bench_adapter_train()
         bench_adapter_train_product()
+        sys.exit(0)
+    if "e2e" in sys.argv[1:]:
+        bench_e2e_sample(int8=False)
+        bench_e2e_sample(int8=True)
         sys.exit(0)
     if "int8" in sys.argv[1:] or "int8static" in sys.argv[1:]:
         static = "int8static" in sys.argv[1:]
