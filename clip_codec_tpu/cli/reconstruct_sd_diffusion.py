@@ -151,6 +151,10 @@ def main() -> None:
     # Latent geometry from the (inferred) VAE config: 8x for SD-1.5.
     f = 2 ** (len(vae_cfg.block_out) - 1)
     shape = (1, args.size // f, args.size // f, vae_cfg.latent_ch)
+    if args.int8:
+        # static activation scales: the measured-best int8 mode (dynamic
+        # per-layer absmax costs 3.6x at B=1, docs/performance.md)
+        dec.calibrate_int8_scales(jnp.asarray(z), shape)
     zj = jnp.asarray(z)
     if inv_use:
         img = dec.sample_with_inversion(

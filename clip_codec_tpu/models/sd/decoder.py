@@ -115,6 +115,9 @@ class StableDiffusionDecoder:
         self.adapter_params = adapter_params
         self.scaling_factor = SD_SCALING_FACTOR
         self.tables = SDSchedulerTables.create()
+        # Static int8 activation scales for the UNet ('quant' collection,
+        # set by calibrate_int8_scales); None = dynamic per-tensor quant.
+        self.unet_quant: Optional[Dict] = None
 
     # ----- VAE
     def encode(self, x_m11: jax.Array, rng: jax.Array) -> jax.Array:
@@ -129,11 +132,34 @@ class StableDiffusionDecoder:
             {"params": self.vae_params}, latents / self.scaling_factor, method=AutoencoderKL.decode
         )
 
-    # ----- eps prediction (adapter differentiable; UNet/VAE frozen)
+    def calibrate_int8_scales(self, z_clip: jax.Array, shape, timesteps=(950, 500, 50)) -> None:
+        """Record static per-layer activation absmax for the int8 UNet (the
+        measured-best serving mode: the dynamic per-layer absmax reductions
+        cost 3.6x at B=1, docs/performance.md). One fp pass per calibration
+        timestep on noise-scale latents; scales are stored on the decoder
+        and ride every subsequent ``sample``/``forward`` call."""
+        from ...ops.int8 import calibrate_int8
+
+        cond = self.adapter.apply({"params": self.adapter_params}, z_clip)
+        rng = jax.random.PRNGKey(0)
+        lat = jax.random.normal(rng, shape, jnp.float32)
+        batches = [
+            (lat, jnp.full((shape[0],), int(t), jnp.int32), cond) for t in timesteps
+        ]
+        self.unet_quant = calibrate_int8(
+            self.unet.apply, {"params": self.unet_params}, *batches
+        )
+
+    def _unet_vars(self) -> Dict:
+        if self.unet_quant is not None:
+            return {"params": self.unet_params, "quant": self.unet_quant}
+        return {"params": self.unet_params}
+
+    # ----- eps prediction (adapter differentiable; adapter/UNet/VAE frozen)
     def forward(self, latents_t: jax.Array, z_clip: jax.Array, t: jax.Array,
                 adapter_params: Optional[Dict] = None) -> jax.Array:
         cond = self.adapter.apply({"params": adapter_params or self.adapter_params}, z_clip)
-        return self.unet.apply({"params": self.unet_params}, latents_t, t, cond)
+        return self.unet.apply(self._unet_vars(), latents_t, t, cond)
 
     __call__ = forward
 
@@ -189,7 +215,7 @@ class StableDiffusionDecoder:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         return _cfg_ddim_sample(
             self.unet, self.vae, self.adapter,
-            self.unet_params, self.vae_params, self.adapter_params,
+            self._unet_vars(), self.vae_params, self.adapter_params,
             z_clip, z_target, rng,
             embed_fn=embed_fn, shape=tuple(shape), steps=int(steps),
             eta=float(eta), guidance_scale=float(guidance_scale),
@@ -206,7 +232,7 @@ class StableDiffusionDecoder:
     ),
 )
 def _cfg_ddim_sample(
-    unet, vae, adapter, unet_params, vae_params, adapter_params,
+    unet, vae, adapter, unet_vars, vae_params, adapter_params,
     z_clip, z_target, rng, *, embed_fn, shape, steps, eta, guidance_scale,
     inv_weight, inv_every, decode_pixels, scaling,
 ):
@@ -236,7 +262,9 @@ def _cfg_ddim_sample(
         return vae.apply({"params": vae_params}, lat_ / scaling, method=AutoencoderKL.decode)
 
     def unet_eps(lat, t_b, ctx):
-        return unet.apply({"params": unet_params}, lat, t_b, ctx).astype(jnp.float32)
+        # unet_vars carries {'params'} or {'params','quant'} (static int8
+        # activation scales) — a pytree argument either way
+        return unet.apply(unet_vars, lat, t_b, ctx).astype(jnp.float32)
 
     def feat_loss(lat, eps, a_t):
         lat_x0 = (lat - jnp.sqrt(1 - a_t) * jax.lax.stop_gradient(eps)) / jnp.sqrt(a_t)

@@ -311,7 +311,7 @@ def test_sd_sampling_carries_no_large_closure_constants(tiny_decoder):
 
     low = _cfg_ddim_sample.lower(
         tiny_decoder.unet, tiny_decoder.vae, tiny_decoder.adapter,
-        tiny_decoder.unet_params, tiny_decoder.vae_params,
+        {"params": tiny_decoder.unet_params}, tiny_decoder.vae_params,
         tiny_decoder.adapter_params,
         jnp.zeros((1, 32)), jnp.zeros((1, 32)), jax.random.PRNGKey(0),
         embed_fn=None, shape=(1, 8, 8, 4), steps=2, eta=0.0,
@@ -323,3 +323,25 @@ def test_sd_sampling_carries_no_large_closure_constants(tiny_decoder):
         f"sampling embeds a {biggest/1e3:.0f} KB constant in its program "
         "body — params must be jit arguments"
     )
+
+
+def test_sd_decoder_static_int8_calibration(sd_store, tiny_decoder):
+    """calibrate_int8_scales gives the SD product surface the static int8
+    mode: scales recorded once ride sample() and forward(); outputs stay
+    finite and differ from the fp trajectory (quantization engaged)."""
+    from clip_codec_tpu.models.sd import SDUNet, StableDiffusionDecoder
+    from tests.test_sd import TINY_UNET, TINY_VAE
+
+    dec = StableDiffusionDecoder(
+        tiny_decoder.vae_params, tiny_decoder.unet_params,
+        adapter_params=tiny_decoder.adapter_params, clip_dim=32, n_tokens=8,
+        unet_cfg=TINY_UNET, vae_cfg=TINY_VAE, dtype=jnp.float32, int8=True,
+    )
+    z = jnp.asarray(np.random.default_rng(3).standard_normal((1, 32)), jnp.float32)
+    dec.calibrate_int8_scales(z, (1, 8, 8, 4), timesteps=(40, 5))
+    assert dec.unet_quant is not None
+    assert all(float(v) > 0 for v in jax.tree_util.tree_leaves(dec.unet_quant))
+    out = np.asarray(dec.sample(z, (1, 8, 8, 4), steps=3, guidance_scale=2.0))
+    assert np.isfinite(out).all()
+    fp = np.asarray(tiny_decoder.sample(z, (1, 8, 8, 4), steps=3, guidance_scale=2.0))
+    assert not np.allclose(out, fp)  # int8 trajectory diverges from fp
