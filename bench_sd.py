@@ -172,7 +172,7 @@ def bench_vae_decode(B=1, latent=64):
     print(f"[sd-vae] decode {dt*1e3:.1f}ms/image-batch on device (B={B}, 512px out)", flush=True)
 
 
-def bench_e2e_sample(B=8, latent=64, steps=30, int8=False):
+def bench_e2e_sample(B=8, latent=64, steps=30, int8=False, static_quant=False):
     """PRODUCT end-to-end SD serving: StableDiffusionDecoder.sample (CFG
     DDIM + VAE decode as one jitted program, params as arguments) at full
     SD-1.5 scale. Timing via repeat-dispatch + one-scalar fetch (the honest
@@ -196,7 +196,11 @@ def bench_e2e_sample(B=8, latent=64, steps=30, int8=False):
     )
     z = jnp.zeros((B, 512), jnp.float32)
     shape = (B, latent, latent, 4)
-    mode = " int8" if int8 else ""
+    mode = (" int8-static" if static_quant else " int8") if int8 else ""
+    if int8 and static_quant:
+        t0 = time.time()
+        dec.calibrate_int8_scales(z, shape)
+        print(f"[sd-e2e{mode}] calibration {time.time()-t0:.1f}s", flush=True)
 
     t0 = time.time()
     out = dec.sample(z, shape, steps=steps, guidance_scale=5.0, rng=jax.random.PRNGKey(0))
@@ -345,8 +349,11 @@ if __name__ == "__main__":
         bench_adapter_train_product()
         sys.exit(0)
     if "e2e" in sys.argv[1:]:
-        bench_e2e_sample(int8=False)
-        bench_e2e_sample(int8=True)
+        if "int8static" in sys.argv[1:]:
+            bench_e2e_sample(int8=True, static_quant=True)
+        else:
+            bench_e2e_sample(int8=False)
+            bench_e2e_sample(int8=True)
         sys.exit(0)
     if "int8" in sys.argv[1:] or "int8static" in sys.argv[1:]:
         static = "int8static" in sys.argv[1:]
