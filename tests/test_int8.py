@@ -288,3 +288,29 @@ def test_sd_vae_stays_fp_under_process_int8_switch():
     finally:
         set_int8_conv(False)
     np.testing.assert_array_equal(got, want)
+
+
+def test_int8_dense_param_tree_and_error():
+    """Int8Dense: identical param tree to nn.Dense (same rng path) and
+    bounded dynamic-quant error at SD-like shapes."""
+    from flax import linen as nn
+
+    from clip_codec_tpu.ops.int8 import Int8Dense
+
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((4, 64, 48)), jnp.float32)
+    p_q = Int8Dense(32).init(jax.random.PRNGKey(0), x)["params"]
+    p_fp = nn.Dense(32).init(jax.random.PRNGKey(0), x)["params"]
+    assert _tree_shapes(p_q) == _tree_shapes(p_fp)
+    for a, b in zip(jax.tree_util.tree_leaves(p_q), jax.tree_util.tree_leaves(p_fp)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    got = Int8Dense(32).apply({"params": p_fp}, x)
+    want = nn.Dense(32).apply({"params": p_fp}, x)
+    rel = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+    assert rel < 0.02, rel
+    # no-bias variant (the attention projections)
+    p_nb = Int8Dense(32, use_bias=False).init(jax.random.PRNGKey(0), x)["params"]
+    assert set(p_nb.keys()) == {"kernel"}
+    y = Int8Dense(32, use_bias=False).apply({"params": p_nb}, x)
+    assert np.isfinite(np.asarray(y)).all()
