@@ -141,10 +141,16 @@ class StableDiffusionDecoder:
         from ...ops.int8 import calibrate_int8
 
         cond = self.adapter.apply({"params": self.adapter_params}, z_clip)
+        # CFG evaluates the UNet on BOTH branches every step — calibrate the
+        # adapter(0) null context too, or the uncond pass runs on scales it
+        # never saw and can clip (review r3b #1).
+        uncond = self.adapter.apply({"params": self.adapter_params}, jnp.zeros_like(z_clip))
         rng = jax.random.PRNGKey(0)
         lat = jax.random.normal(rng, shape, jnp.float32)
         batches = [
-            (lat, jnp.full((shape[0],), int(t), jnp.int32), cond) for t in timesteps
+            (lat, jnp.full((shape[0],), int(t), jnp.int32), ctx)
+            for t in timesteps
+            for ctx in (cond, uncond)
         ]
         self.unet_quant = calibrate_int8(
             self.unet.apply, {"params": self.unet_params}, *batches
@@ -213,12 +219,16 @@ class StableDiffusionDecoder:
         which breaks remote-compile transports (same rule as the trainer;
         pinned by a no-large-constants regression test)."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        # guidance_scale rides as a TRACED scalar: it is only arithmetic, and
+        # a static arg would recompile the whole SD program per CFG value
+        # (1-5 min per sweep point over remote transports). eta/inv_weight
+        # stay static — they gate trace structure via Python `if`.
         return _cfg_ddim_sample(
             self.unet, self.vae, self.adapter,
             self._unet_vars(), self.vae_params, self.adapter_params,
-            z_clip, z_target, rng,
+            z_clip, z_target, rng, jnp.float32(guidance_scale),
             embed_fn=embed_fn, shape=tuple(shape), steps=int(steps),
-            eta=float(eta), guidance_scale=float(guidance_scale),
+            eta=float(eta),
             inv_weight=float(inv_weight), inv_every=int(inv_every),
             decode_pixels=bool(decode_pixels), scaling=self.scaling_factor,
         )
@@ -228,12 +238,12 @@ class StableDiffusionDecoder:
     jax.jit,
     static_argnames=(
         "unet", "vae", "adapter", "embed_fn", "shape", "steps", "eta",
-        "guidance_scale", "inv_weight", "inv_every", "decode_pixels", "scaling",
+        "inv_weight", "inv_every", "decode_pixels", "scaling",
     ),
 )
 def _cfg_ddim_sample(
     unet, vae, adapter, unet_vars, vae_params, adapter_params,
-    z_clip, z_target, rng, *, embed_fn, shape, steps, eta, guidance_scale,
+    z_clip, z_target, rng, guidance_scale, *, embed_fn, shape, steps, eta,
     inv_weight, inv_every, decode_pixels, scaling,
 ):
     """CFG DDIM (+ optional inversion guidance) as one compiled program.

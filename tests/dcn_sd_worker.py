@@ -54,44 +54,6 @@ def global_batch(B=8):
     return z, lat, img, w
 
 
-def build_store(root: Path, dec):
-    """Deterministic tiny latent store (same content in every process)."""
-    import json
-
-    import jax.numpy as jnp
-    from PIL import Image
-
-    from clip_codec_tpu.codecs.quantizer import fit_affine, quantize
-    from clip_codec_tpu.io.store import write_store
-    from clip_codec_tpu.train.data import load_image_m11
-
-    rng = np.random.default_rng(0)
-    img_dir = root / "imgs"
-    img_dir.mkdir(parents=True, exist_ok=True)
-    paths = []
-    for i in range(4):
-        p = img_dir / f"im{i}.png"
-        Image.fromarray(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)).save(p)
-        paths.append(str(p))
-    feats = rng.standard_normal((4, 32)).astype(np.float32)
-    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
-    scale, zero = fit_affine(feats)
-    q = np.asarray(quantize(feats, scale, zero))
-    store = root / "store"
-    manifest = write_store(store, feats, paths, np.asarray(scale), np.asarray(zero), q)
-    (store / "latents").mkdir(exist_ok=True)
-    key = jax.random.PRNGKey(5)
-    for rec in manifest:
-        x = load_image_m11(rec["image"], 16)[None]
-        key, k2 = jax.random.split(key)
-        lat = np.asarray(dec.encode(jnp.asarray(x), k2))[0]
-        lp = store / "latents" / (Path(rec["image"]).stem + ".npz")
-        np.savez_compressed(lp, lat=lat.transpose(2, 0, 1).astype(np.float16))
-        rec["latent"] = str(lp)
-    (store / "manifest_latents.json").write_text(json.dumps(manifest))
-    return store
-
-
 def main() -> None:
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
     mode = sys.argv[4] if len(sys.argv) > 4 else "step"
@@ -126,13 +88,24 @@ def main() -> None:
         # save deadlocks here — review r3 #3) plus the per-epoch msgpack
         # writes and the prefetched data pipeline. The store is rebuilt
         # deterministically per process; save_dir is SHARED.
-        store = build_store(shared_dir / f"local_{pid}", dec)
+        from tests.sd_fixtures import build_tiny_sd_store
+
+        store = build_tiny_sd_store(shared_dir / f"local_{pid}", dec)
         cfg = SDTrainConfig(epochs=2, batch_size=8, lr=1e-3, timesteps=50, out_size=16)
         final = train_sd_diffusion(
             store, dec, config=cfg, save_dir=shared_dir / "ck", mesh=make_mesh()
         )
-        ok = (shared_dir / "ck" / "sd_adapter_ep2.msgpack").exists()
-        print(f"RESULT pid={pid} loop_ok={ok and final.exists()}", flush=True)
+        # Only process 0 writes the msgpack artifacts, and the last CROSS-
+        # process barrier is the epoch-2 orbax save — a non-0 process
+        # checking final.exists() races the writer. p0 asserts the files;
+        # other processes prove participation by completing the loop at all
+        # (the orbax saves are collectives).
+        ok = (
+            final.exists() and (shared_dir / "ck" / "sd_adapter_ep2.msgpack").exists()
+            if pid == 0
+            else True
+        )
+        print(f"RESULT pid={pid} loop_ok={ok}", flush=True)
         return
     cfg = SDTrainConfig(timesteps=50, out_size=16)
     tx = optax.adamw(1e-3)

@@ -31,37 +31,12 @@ def tiny_decoder(rng):
 
 
 @pytest.fixture
-def sd_store(tmp_path, rng, tiny_decoder):
-    """Store with images, bitstreams AND latents (manifest_latents.json)."""
-    n, d = 4, 32
-    img_dir = tmp_path / "imgs"
-    img_dir.mkdir()
-    paths = []
-    for i in range(n):
-        p = img_dir / f"im{i}.png"
-        Image.fromarray(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)).save(p)
-        paths.append(str(p))
-    feats = rng.standard_normal((n, d)).astype(np.float32)
-    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
-    scale, zero = fit_affine(feats)
-    q = np.asarray(quantize(feats, scale, zero))
-    store = tmp_path / "store"
-    manifest = write_store(store, feats, paths, np.asarray(scale), np.asarray(zero), q)
-    # precompute latents with the tiny VAE (fp16 CHW, key 'lat' - format parity)
-    lat_dir = store / "latents"
-    lat_dir.mkdir()
-    key = jax.random.PRNGKey(5)
-    for rec in manifest:
-        from clip_codec_tpu.train.data import load_image_m11
+def sd_store(tmp_path, tiny_decoder):
+    """Store with images, bitstreams AND latents (manifest_latents.json) —
+    built by the shared helper also used by the cluster workers."""
+    from tests.sd_fixtures import build_tiny_sd_store
 
-        x = load_image_m11(rec["image"], 16)[None]
-        key, k2 = jax.random.split(key)
-        lat = np.asarray(tiny_decoder.encode(jnp.asarray(x), k2))[0]  # (8, 8, 4)
-        lat_path = lat_dir / (Path(rec["image"]).stem + ".npz")
-        np.savez_compressed(lat_path, lat=lat.transpose(2, 0, 1).astype(np.float16))
-        rec["latent"] = str(lat_path)
-    (store / "manifest_latents.json").write_text(json.dumps(manifest, indent=2))
-    return store
+    return build_tiny_sd_store(tmp_path, tiny_decoder)
 
 
 def test_sd_adapter_training(sd_store, tiny_decoder, tmp_path, capsys):
@@ -314,8 +289,9 @@ def test_sd_sampling_carries_no_large_closure_constants(tiny_decoder):
         {"params": tiny_decoder.unet_params}, tiny_decoder.vae_params,
         tiny_decoder.adapter_params,
         jnp.zeros((1, 32)), jnp.zeros((1, 32)), jax.random.PRNGKey(0),
+        jnp.float32(2.0),
         embed_fn=None, shape=(1, 8, 8, 4), steps=2, eta=0.0,
-        guidance_scale=2.0, inv_weight=0.0, inv_every=1, decode_pixels=True,
+        inv_weight=0.0, inv_every=1, decode_pixels=True,
         scaling=tiny_decoder.scaling_factor,
     )
     biggest = _biggest_embedded_const_bytes(low)
@@ -325,7 +301,7 @@ def test_sd_sampling_carries_no_large_closure_constants(tiny_decoder):
     )
 
 
-def test_sd_decoder_static_int8_calibration(sd_store, tiny_decoder):
+def test_sd_decoder_static_int8_calibration(tiny_decoder):
     """calibrate_int8_scales gives the SD product surface the static int8
     mode: scales recorded once ride sample() and forward(); outputs stay
     finite and differ from the fp trajectory (quantization engaged)."""
