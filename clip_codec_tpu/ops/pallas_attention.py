@@ -218,11 +218,22 @@ def _bwd_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dvec_ref, dk_ref, dv_r
         dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
+def _bwd_tile_target(d: int) -> int:
+    """Backward tile target, D-dependent like the forward's but capped lower:
+    the backward keeps ~4 (Tq, Tk) fp32 intermediates live (s, p, dp, ds), so
+    VMEM pressure bites earlier. Measured on v5e at the SD self-attention
+    shapes (fwd+bwd, bf16): (32,4096,40) 256→512 is **1.18x** (73.4→62.4 ms,
+    1024 regresses to 1.09x); (32,1024,80) flat within 4%; (32,256,160)
+    512 is 0.92x and 1024 0.44x. So: 512 for lane-padded small heads
+    (D<=64), 256 otherwise."""
+    return 512 if d <= 64 else 256
+
+
 def _flash_backward(q, k, v, out, lse, g, scale):
     BH, N, D = q.shape
     Nk = k.shape[1]
-    tq = _pick_tile(N, 256)
-    tk = _pick_tile(Nk, 256)
+    tq = _pick_tile(N, _bwd_tile_target(D))
+    tk = _pick_tile(Nk, _bwd_tile_target(D))
     dvec = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True)  # (BH, N, 1)
     lse3 = lse[..., None]
 
