@@ -169,6 +169,35 @@ def test_flash_attention_grad(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
+def test_flash_attention_grad_multitile_smallhead(rng):
+    """Backward at a shape that exercises the D<=64 512-tile target with
+    MULTIPLE q and k tiles (N=1024 -> 2x2 tile grid, the accumulation
+    pattern the SD 64x64 stage runs at): tile-boundary state handoff must
+    not perturb gradients. Guards the D-dependent _bwd_tile_target retune."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from clip_codec_tpu.ops.pallas_attention import (
+        _bwd_tile_target,
+        attention_reference,
+        flash_attention,
+    )
+
+    assert _bwd_tile_target(40) == 512 and _bwd_tile_target(80) == 256
+
+    q = jnp.asarray(rng.standard_normal((1, 1024, 40)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 1024, 40)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 1024, 40)), jnp.float32)
+
+    def loss(fn):
+        return lambda q, k, v: jnp.sum(fn(q, k, v) ** 2) / 1024
+
+    with pltpu.force_tpu_interpret_mode():
+        g1 = jax.grad(loss(flash_attention), argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss(attention_reference), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
 def test_flash_attention_heads_sharded_fwd_and_grad(rng):
     """The TP-composable (B, H, N, D) wrapper: head-sharded inputs produce
     the same forward AND gradients as the materializing reference, with the
