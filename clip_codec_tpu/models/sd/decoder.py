@@ -179,6 +179,7 @@ class StableDiffusionDecoder:
         guidance_scale: float = 5.0,
         rng: Optional[jax.Array] = None,
         decode_pixels: bool = True,
+        cfg_batched: Optional[bool] = None,
     ) -> jax.Array:
         """shape is (B, H, W, C) latents. Returns decoded [-1,1] images
         (reference ``sample``, :76-90) or raw latents. Plain CFG sampling is
@@ -187,7 +188,7 @@ class StableDiffusionDecoder:
         return self.sample_with_inversion(
             z_clip, z_clip, None, shape, steps=steps, eta=eta,
             guidance_scale=guidance_scale, inv_weight=0.0, rng=rng,
-            decode_pixels=decode_pixels,
+            decode_pixels=decode_pixels, cfg_batched=cfg_batched,
         )
 
     # ----- CFG DDIM with test-time feature-inversion guidance
@@ -204,6 +205,7 @@ class StableDiffusionDecoder:
         inv_every: int = 1,
         rng: Optional[jax.Array] = None,
         decode_pixels: bool = True,
+        cfg_batched: Optional[bool] = None,
     ) -> jax.Array:
         """CFG DDIM plus the reference's gradient-based feature inversion
         (``cli/reconstruct_sd_diffusion.py:161-181``): every ``inv_every``
@@ -217,8 +219,18 @@ class StableDiffusionDecoder:
         adapter parameter trees ride it as ARGUMENTS — at SD-1.5 scale a
         closure-captured UNet serializes ~3.4 GB into the program body,
         which breaks remote-compile transports (same rule as the trainer;
-        pinned by a no-large-constants regression test)."""
+        pinned by a no-large-constants regression test).
+
+        ``cfg_batched`` folds the (uncond, cond) CFG pair into ONE UNet
+        forward at batch 2B instead of the reference's two sequential
+        forwards. Same per-sample math (batch is never a reduction axis);
+        measured on v5e it is the latency mode: +16% at B=1 (1.29 -> 1.49
+        img/s DDIM-30+CFG 512px e2e) but -3% at B=8 where 2B is past the
+        MXU saturation knee. Default (None) auto-picks: batched for B <= 4,
+        sequential above."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        if cfg_batched is None:
+            cfg_batched = shape[0] <= 4
         # guidance_scale rides as a TRACED scalar: it is only arithmetic, and
         # a static arg would recompile the whole SD program per CFG value
         # (1-5 min per sweep point over remote transports). eta/inv_weight
@@ -231,6 +243,7 @@ class StableDiffusionDecoder:
             eta=float(eta),
             inv_weight=float(inv_weight), inv_every=int(inv_every),
             decode_pixels=bool(decode_pixels), scaling=self.scaling_factor,
+            cfg_batched=bool(cfg_batched),
         )
 
 
@@ -238,13 +251,13 @@ class StableDiffusionDecoder:
     jax.jit,
     static_argnames=(
         "unet", "vae", "adapter", "embed_fn", "shape", "steps", "eta",
-        "inv_weight", "inv_every", "decode_pixels", "scaling",
+        "inv_weight", "inv_every", "decode_pixels", "scaling", "cfg_batched",
     ),
 )
 def _cfg_ddim_sample(
     unet, vae, adapter, unet_vars, vae_params, adapter_params,
     z_clip, z_target, rng, guidance_scale, *, embed_fn, shape, steps, eta,
-    inv_weight, inv_every, decode_pixels, scaling,
+    inv_weight, inv_every, decode_pixels, scaling, cfg_batched=True,
 ):
     """CFG DDIM (+ optional inversion guidance) as one compiled program.
     Modules and numbers are static (flax modules hash by structure); every
@@ -254,6 +267,15 @@ def _cfg_ddim_sample(
 
     cond = adapter.apply({"params": adapter_params}, z_clip)
     uncond = adapter.apply({"params": adapter_params}, jnp.zeros_like(z_clip))
+    # CFG runs the UNet on BOTH contexts every step. The reference issues two
+    # sequential forwards (cli/reconstruct_sd_diffusion.py:162-163); with
+    # ``cfg_batched`` the (uncond, cond) pair rides ONE forward at batch 2B —
+    # per-sample math is unchanged (batch is not a reduction axis anywhere in
+    # the UNet) and low-batch MXU utilization moves to the 2B point on the
+    # measured scaling curve (12.9 -> 10.4 ms/img from B=1 to B=2,
+    # docs/performance.md). Above the saturation knee (~B=8 per forward) the
+    # sequential form is marginally better — sample_with_inversion auto-picks.
+    ctx2 = jnp.concatenate([uncond, cond], axis=0) if cfg_batched else None
     z_tgt = z_target / jnp.maximum(jnp.linalg.norm(z_target, axis=-1, keepdims=True), 1e-9)
 
     tables = SDSchedulerTables.create()
@@ -288,9 +310,14 @@ def _cfg_ddim_sample(
     def step(carry, per):
         lat, rng = carry
         t, a_t, a_prev, do_inv = per
-        t_b = jnp.full((shape[0],), t, jnp.int32)
-        eps_u = unet_eps(lat, t_b, uncond)
-        eps_c = unet_eps(lat, t_b, cond)
+        if cfg_batched:
+            t2 = jnp.full((2 * shape[0],), t, jnp.int32)
+            eps2 = unet_eps(jnp.concatenate([lat, lat], axis=0), t2, ctx2)
+            eps_u, eps_c = eps2[: shape[0]], eps2[shape[0]:]
+        else:
+            t_b = jnp.full((shape[0],), t, jnp.int32)
+            eps_u = unet_eps(lat, t_b, uncond)
+            eps_c = unet_eps(lat, t_b, cond)
         eps = eps_u + guidance_scale * (eps_c - eps_u)
         if inv_weight > 0:
             def guided(lat):

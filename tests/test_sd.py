@@ -116,6 +116,68 @@ def test_decoder_sample_matches_numpy_oracle(rng):
     assert not np.allclose(np.asarray(lat), np.asarray(lat3))
 
 
+def test_cfg_batched_equals_sequential_forwards(rng):
+    """The CFG pair rides ONE 2B UNet forward inside the scan
+    (decoder.py ``_cfg_ddim_sample``); per-sample results must equal the
+    reference's two sequential forwards (cli/reconstruct_sd_diffusion.py:
+    162-163). Drive the REAL tiny UNet through both forms over a short
+    eta=0 trajectory."""
+    vae = AutoencoderKL(TINY_VAE)
+    unet = SDUNet(TINY_UNET)
+    x = jnp.zeros((1, 16, 16, 3))
+    vae_params = vae.init(jax.random.PRNGKey(0), x, jax.random.PRNGKey(1))["params"]
+    lat0 = jnp.zeros((1, 8, 8, 4))
+    ctx0 = jnp.zeros((1, 8, 16))
+    unet_params = unet.init(jax.random.PRNGKey(2), lat0, jnp.zeros((1,), jnp.int32), ctx0)["params"]
+    dec = StableDiffusionDecoder(
+        vae_params, unet_params, clip_dim=32, n_tokens=8,
+        unet_cfg=TINY_UNET, vae_cfg=TINY_VAE, dtype=jnp.float32,
+    )
+
+    z = jnp.asarray(rng.standard_normal((2, 32)), jnp.float32)
+    shape = (2, 8, 8, 4)
+    steps, guidance = 4, 2.5
+    key = jax.random.PRNGKey(9)
+    lat_batched = dec.sample(z, shape, steps=steps, guidance_scale=guidance,
+                             rng=key, decode_pixels=False)
+
+    # Sequential two-forward re-derivation with the same init noise/tables.
+    _, init_rng = jax.random.split(key)
+    lat = jax.random.normal(init_rng, shape, jnp.float32)
+    cond = dec.adapter.apply({"params": dec.adapter_params}, z)
+    uncond = dec.adapter.apply({"params": dec.adapter_params}, jnp.zeros_like(z))
+    ac = sd_alphas_cumprod(1000).astype(np.float32)
+    ts = sd_ddim_timesteps(steps)
+    final_ac = np.float32(ac[0])
+    for t in ts:
+        tb = jnp.full((2,), int(t), jnp.int32)
+        eps_u = unet.apply({"params": unet_params}, lat, tb, uncond).astype(jnp.float32)
+        eps_c = unet.apply({"params": unet_params}, lat, tb, cond).astype(jnp.float32)
+        eps = eps_u + guidance * (eps_c - eps_u)
+        a_t = np.float32(ac[t])
+        prev = t - 1000 // steps
+        a_prev = np.float32(ac[prev]) if prev >= 0 else final_ac
+        x0 = (lat - jnp.sqrt(1 - a_t) * eps) / jnp.sqrt(a_t)
+        lat = jnp.sqrt(a_prev) * x0 + jnp.sqrt(1 - a_prev) * eps
+    # Not bit-equal: XLA lowers the 2B-batch convs with different
+    # vectorization than the B-batch ones, re-associating fp32 reductions
+    # (measured max rel diff 2.6e-4 over 4 steps on CPU — the divisions by
+    # sqrt(a_t) amplify late-trajectory ulps). Same-math bound, not parity.
+    np.testing.assert_allclose(
+        np.asarray(lat_batched), np.asarray(lat), rtol=1e-3, atol=1e-4
+    )
+
+    # The product SEQUENTIAL branch (cfg_batched=False, the auto choice
+    # above the B=4 knee) matches the hand-rolled loop tightly — same ops,
+    # same batch per forward (in-scan vs python-loop compilation leaves
+    # ~3e-5 rel ulps on isolated elements).
+    lat_seq = dec.sample(z, shape, steps=steps, guidance_scale=guidance,
+                         rng=key, decode_pixels=False, cfg_batched=False)
+    np.testing.assert_allclose(
+        np.asarray(lat_seq), np.asarray(lat), rtol=2e-4, atol=1e-5
+    )
+
+
 def test_scan_step_math_vs_oracle():
     """Isolated check of the DDIM update math (eta=0) vs the numpy oracle,
     with an analytic eps function instead of a network."""
