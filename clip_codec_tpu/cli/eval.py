@@ -26,6 +26,8 @@ def main() -> None:
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--eta", type=float, default=0.0)
+    ap.add_argument("--sampler", type=str, default="ddim", choices=("ddim", "dpmpp"),
+                    help="ddim (reference-parity) or dpmpp (DPM-Solver++(2M), eta=0 only)")
     ap.add_argument("--device", type=str, default=default_device())
     ap.add_argument("--out_json", type=str, default=None)
     ap.add_argument("--batch_size", type=int, default=8, help="DDIM reconstruction batch")
@@ -45,7 +47,7 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    from ..diffusion import DDIMSampler, NoiseSchedule
+    from ..diffusion import NoiseSchedule, make_sampler
     from ..eval.metrics import clip_similarity_batch, lpips_batch, psnr_batch, ssim_batch
     from ..eval.metrics import _default_clip_encoder, _default_lpips
     from ..models import CLIPCondUNet
@@ -65,7 +67,7 @@ def main() -> None:
                        dtype=jnp.bfloat16, int8=True if args.int8 else None)
     sched = (NoiseSchedule.create(mc.timesteps, mc.schedule) if mc
              else NoiseSchedule.create(1000, "cosine"))
-    sampler = DDIMSampler(sched, eta=args.eta)
+    sampler = make_sampler(args.sampler, sched, eta=args.eta)
     model_fn = lambda p, xt, zz, t: net.apply(p, xt, zz, t)
     model_params = {"params": params}
     if args.int8:

@@ -30,6 +30,9 @@ def main() -> None:
                     help="U-Net base width (default: model_config.json next to --weights, else 128)")
     ap.add_argument("--ch_mult", type=str, default=None, help="U-Net channel multipliers")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--sampler", type=str, default="ddim", choices=("ddim", "dpmpp"),
+                    help="ddim (reference-parity) or dpmpp (DPM-Solver++(2M): "
+                         "same quality at ~half the steps, eta=0 only)")
     add_int8_flag(ap)
     args = ap.parse_args()
     apply_device_flag(args.device)
@@ -39,7 +42,7 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    from ..diffusion import DDIMSampler, NoiseSchedule
+    from ..diffusion import NoiseSchedule, make_sampler
     from ..models import CLIPCondUNet
     from ..train.train_decoder import decode_embedding, to_pil
     from ..utils.checkpoint import load_unet_checkpoint
@@ -56,7 +59,7 @@ def main() -> None:
                        dtype=jnp.bfloat16, int8=True if args.int8 else None)
     sched = (NoiseSchedule.create(mc.timesteps, mc.schedule) if mc
              else NoiseSchedule.create(1000, "cosine"))
-    sampler = DDIMSampler(sched, eta=args.eta)
+    sampler = make_sampler(args.sampler, sched, eta=args.eta)
     model_params = {"params": params}
     if args.int8:
         # static activation scales: skips the per-conv absmax pass

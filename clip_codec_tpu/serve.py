@@ -9,7 +9,7 @@ Endpoints:
 * ``POST /compress``              -> body: one image file (PNG/JPEG bytes);
   response: one ``.clp`` frame (``application/octet-stream``).
   Requires CLIP weights.
-* ``POST /decompress?size=256&steps=50`` -> body: one ``.clp`` frame;
+* ``POST /decompress?size=256&steps=50&sampler=ddim|dpmpp`` -> body: one ``.clp`` frame;
   response: reconstructed PNG. Requires a trained decoder checkpoint.
 * ``POST /embed``                 -> body: one ``.clp`` frame; response:
   JSON ``{"embedding": [...]}`` (dequantized, L2-normalized).
@@ -75,8 +75,10 @@ def make_handler(codec: ClipCodec):
                 elif url.path == "/decompress":
                     size = int(q.get("size", ["256"])[0])
                     steps = int(q.get("steps", ["50"])[0])
+                    sampler = q.get("sampler", ["ddim"])[0]
                     with lock:
-                        img = codec.decompress([self._body()], size=size, steps=steps, batch_size=1)[0]
+                        img = codec.decompress([self._body()], size=size, steps=steps,
+                                               batch_size=1, sampler=sampler)[0]
                     buf = io.BytesIO()
                     Image.fromarray(((img + 1.0) * 127.5).astype(np.uint8)).save(buf, format="PNG")
                     self._send(200, buf.getvalue(), "image/png")

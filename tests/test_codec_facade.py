@@ -40,6 +40,15 @@ def test_facade_decompress(tmp_path, rng):
     assert np.all(np.isfinite(imgs))
     assert np.abs(imgs).max() <= 1.0
 
+    # DPM-Solver++ serving mode shares the facade
+    imgs2 = codec.decompress(blobs, size=16, steps=3, batch_size=3, sampler="dpmpp")
+    assert imgs2.shape == (4, 16, 16, 3)
+    assert np.all(np.isfinite(imgs2))
+    with pytest.raises(ValueError, match="deterministic"):
+        codec.decompress(blobs, size=16, steps=3, eta=0.5, sampler="dpmpp")
+    with pytest.raises(ValueError, match="unknown sampler"):
+        codec.decompress(blobs, size=16, steps=3, sampler="euler")
+
 
 def test_facade_without_decoder(tmp_path, rng):
     from clip_codec_tpu.codecs.quantizer import fit_affine

@@ -231,6 +231,18 @@ def test_coefficients_finite_and_terminal():
     assert c1[0] == 0.0
 
 
+def test_make_sampler_factory():
+    from clip_codec_tpu.diffusion import DDIMSampler, make_sampler
+
+    sched = NoiseSchedule.create(100, "cosine")
+    assert isinstance(make_sampler("ddim", sched, eta=0.7), DDIMSampler)
+    assert isinstance(make_sampler("dpmpp", sched), DPMSolverPP)
+    with pytest.raises(ValueError, match="deterministic"):
+        make_sampler("dpmpp", sched, eta=0.5)
+    with pytest.raises(ValueError, match="unknown sampler"):
+        make_sampler("euler", sched)
+
+
 def test_class_wrapper_and_model_params_contract():
     sched = NoiseSchedule.create(100, "cosine")
     rng = np.random.default_rng(3)

@@ -80,6 +80,23 @@ def test_decompress_endpoint(server):
     assert img.size == (16, 16)
 
 
+def test_decompress_endpoint_dpmpp(server):
+    addr, q = server
+    blob = compress_frame(q[1].tobytes())
+    status, ctype, data = _request(
+        addr, "POST", "/decompress?size=16&steps=3&sampler=dpmpp", blob)
+    assert status == 200
+    assert ctype == "image/png"
+    import io as _io
+
+    assert Image.open(_io.BytesIO(data)).size == (16, 16)
+    # unknown sampler name -> client error, not a server crash
+    status, _, data = _request(
+        addr, "POST", "/decompress?size=16&steps=3&sampler=euler", blob)
+    assert status == 400
+    assert "unknown sampler" in json.loads(data)["error"]
+
+
 def test_compress_gated_without_weights(server, monkeypatch):
     monkeypatch.delenv("CLIP_CODEC_CLIP_WEIGHTS", raising=False)
     addr, _ = server
