@@ -172,7 +172,8 @@ def bench_vae_decode(B=1, latent=64):
     print(f"[sd-vae] decode {dt*1e3:.1f}ms/image-batch on device (B={B}, 512px out)", flush=True)
 
 
-def bench_e2e_sample(B=8, latent=64, steps=30, int8=False, static_quant=False):
+def bench_e2e_sample(B=8, latent=64, steps=30, int8=False, static_quant=False,
+                     sampler="ddim"):
     """PRODUCT end-to-end SD serving: StableDiffusionDecoder.sample (CFG
     DDIM + VAE decode as one jitted program, params as arguments) at full
     SD-1.5 scale. Timing via repeat-dispatch + one-scalar fetch (the honest
@@ -203,17 +204,19 @@ def bench_e2e_sample(B=8, latent=64, steps=30, int8=False, static_quant=False):
         print(f"[sd-e2e{mode}] calibration {time.time()-t0:.1f}s", flush=True)
 
     t0 = time.time()
-    out = dec.sample(z, shape, steps=steps, guidance_scale=5.0, rng=jax.random.PRNGKey(0))
+    out = dec.sample(z, shape, steps=steps, guidance_scale=5.0,
+                     rng=jax.random.PRNGKey(0), sampler=sampler)
     assert np.isfinite(float(out[0, 0, 0, 0]))
     print(f"[sd-e2e{mode}] compile+first {time.time()-t0:.1f}s", flush=True)
     n = 3
     t0 = time.time()
     for i in range(n):
-        out = dec.sample(z, shape, steps=steps, guidance_scale=5.0, rng=jax.random.PRNGKey(i + 1))
+        out = dec.sample(z, shape, steps=steps, guidance_scale=5.0,
+                         rng=jax.random.PRNGKey(i + 1), sampler=sampler)
     float(out[0, 0, 0, 0])  # one-scalar completion barrier
     dt = (time.time() - t0) / n
     print(
-        f"[sd-e2e{mode}] DDIM-{steps}+CFG 512px B={B}: {dt:.2f}s/batch = "
+        f"[sd-e2e{mode}] {sampler.upper()}-{steps}+CFG 512px B={B}: {dt:.2f}s/batch = "
         f"{B/dt:.2f} img/s (incl. VAE decode)",
         flush=True,
     )
@@ -349,11 +352,18 @@ if __name__ == "__main__":
         bench_adapter_train_product()
         sys.exit(0)
     if "e2e" in sys.argv[1:]:
-        if "int8static" in sys.argv[1:]:
-            bench_e2e_sample(int8=True, static_quant=True)
-        else:
-            bench_e2e_sample(int8=False)
-            bench_e2e_sample(int8=True)
+        sampler = "dpmpp" if "dpmpp" in sys.argv[1:] else "ddim"
+        steps = next((int(a[6:]) for a in sys.argv[1:] if a.startswith("steps=")),
+                     15 if sampler == "dpmpp" else 30)
+        batches = [int(b) for b in sys.argv[1:] if b.isdigit()] or [8]
+        for B in batches:
+            if "int8static" in sys.argv[1:]:
+                bench_e2e_sample(B=B, int8=True, static_quant=True,
+                                 sampler=sampler, steps=steps)
+            else:
+                bench_e2e_sample(B=B, int8=False, sampler=sampler, steps=steps)
+                if "bf16" not in sys.argv[1:]:
+                    bench_e2e_sample(B=B, int8=True, sampler=sampler, steps=steps)
         sys.exit(0)
     if "int8" in sys.argv[1:] or "int8static" in sys.argv[1:]:
         static = "int8static" in sys.argv[1:]

@@ -54,6 +54,9 @@ def main() -> None:
     ap.add_argument("--model_name", type=str, default="runwayml/stable-diffusion-v1-5")
     ap.add_argument("--out", type=Path, default=Path("recon.png"))
     ap.add_argument("--steps", type=int, default=30)
+    # beyond-reference: DPM-Solver++(2M) reaches DDIM-30-class quality at
+    # ~half the UNet evaluations (try --sampler dpmpp --steps 15)
+    ap.add_argument("--sampler", type=str, default="ddim", choices=("ddim", "dpmpp"))
     ap.add_argument("--eta", type=float, default=0.0)
     ap.add_argument("--guidance", type=float, default=5.0)
     ap.add_argument("--size", type=int, default=512)
@@ -161,11 +164,12 @@ def main() -> None:
             zj, zj, embed_fn, shape, steps=args.steps, eta=args.eta,
             guidance_scale=args.guidance, inv_weight=args.inv_weight,
             inv_every=args.inv_every, rng=jax.random.PRNGKey(args.seed),
+            sampler=args.sampler,
         )
     else:
         img = dec.sample(
             zj, shape, steps=args.steps, eta=args.eta, guidance_scale=args.guidance,
-            rng=jax.random.PRNGKey(args.seed),
+            rng=jax.random.PRNGKey(args.seed), sampler=args.sampler,
         )
 
     arr = ((np.asarray(jnp.clip(img[0], -1, 1)) + 1.0) * 127.5).astype(np.uint8)

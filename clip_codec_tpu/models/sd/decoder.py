@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ...diffusion.dpm import dpmpp_coefficients
 from .unet import SD15_UNET, SDUNet, SDUNetConfig
 from .vae import SD15_VAE, AutoencoderKL, VAEConfig
 
@@ -180,15 +181,21 @@ class StableDiffusionDecoder:
         rng: Optional[jax.Array] = None,
         decode_pixels: bool = True,
         cfg_batched: Optional[bool] = None,
+        sampler: str = "ddim",
     ) -> jax.Array:
         """shape is (B, H, W, C) latents. Returns decoded [-1,1] images
         (reference ``sample``, :76-90) or raw latents. Plain CFG sampling is
         the ``inv_weight=0`` case of :meth:`sample_with_inversion` — one DDIM
-        step implementation, no duplicated update math."""
+        step implementation, no duplicated update math.
+
+        ``sampler``: ``"ddim"`` (reference parity, any eta) or ``"dpmpp"``
+        (DPM-Solver++(2M), deterministic — DDIM-30-class quality at ~half the
+        UNet evaluations; the UNet evaluations ARE the serving cost)."""
         return self.sample_with_inversion(
             z_clip, z_clip, None, shape, steps=steps, eta=eta,
             guidance_scale=guidance_scale, inv_weight=0.0, rng=rng,
             decode_pixels=decode_pixels, cfg_batched=cfg_batched,
+            sampler=sampler,
         )
 
     # ----- CFG DDIM with test-time feature-inversion guidance
@@ -206,6 +213,7 @@ class StableDiffusionDecoder:
         rng: Optional[jax.Array] = None,
         decode_pixels: bool = True,
         cfg_batched: Optional[bool] = None,
+        sampler: str = "ddim",
     ) -> jax.Array:
         """CFG DDIM plus the reference's gradient-based feature inversion
         (``cli/reconstruct_sd_diffusion.py:161-181``): every ``inv_every``
@@ -228,6 +236,10 @@ class StableDiffusionDecoder:
         img/s DDIM-30+CFG 512px e2e) but -3% at B=8 where 2B is past the
         MXU saturation knee. Default (None) auto-picks: batched for B <= 4,
         sequential above."""
+        if sampler not in ("ddim", "dpmpp"):
+            raise ValueError(f"unknown sampler {sampler!r}; choose 'ddim' or 'dpmpp'")
+        if sampler == "dpmpp" and eta != 0.0:
+            raise ValueError("DPM-Solver++ is deterministic: eta must be 0.0")
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         if cfg_batched is None:
             cfg_batched = shape[0] <= 4
@@ -243,7 +255,7 @@ class StableDiffusionDecoder:
             eta=float(eta),
             inv_weight=float(inv_weight), inv_every=int(inv_every),
             decode_pixels=bool(decode_pixels), scaling=self.scaling_factor,
-            cfg_batched=bool(cfg_batched),
+            cfg_batched=bool(cfg_batched), sampler=str(sampler),
         )
 
 
@@ -252,12 +264,14 @@ class StableDiffusionDecoder:
     static_argnames=(
         "unet", "vae", "adapter", "embed_fn", "shape", "steps", "eta",
         "inv_weight", "inv_every", "decode_pixels", "scaling", "cfg_batched",
+        "sampler",
     ),
 )
 def _cfg_ddim_sample(
     unet, vae, adapter, unet_vars, vae_params, adapter_params,
     z_clip, z_target, rng, guidance_scale, *, embed_fn, shape, steps, eta,
     inv_weight, inv_every, decode_pixels, scaling, cfg_batched=True,
+    sampler="ddim",
 ):
     """CFG DDIM (+ optional inversion guidance) as one compiled program.
     Modules and numbers are static (flax modules hash by structure); every
@@ -289,6 +303,19 @@ def _cfg_ddim_sample(
     )
     t_stack = jnp.asarray(ts, jnp.int32)
     inv_gate = jnp.asarray((np.arange(steps) % max(1, inv_every)) == 0)
+    if sampler == "dpmpp":
+        # DPM-Solver++(2M) over the same "leading" source grid, so an N-step
+        # dpmpp run makes exactly N UNet evaluations like N-step DDIM. The
+        # target grid is the next source timestep (== DDIM's ab_prev grid);
+        # the FINAL target is abar=1 — diffusers' DPMSolverMultistepScheduler
+        # ``final_sigmas_type="zero"`` default — where the lower-order-final
+        # masking in dpmpp_coefficients makes the last update exactly x = m0
+        # (the DDIM surface instead keeps set_alpha_to_one=False parity).
+        ab_tgt = jnp.concatenate([abt[1:], jnp.ones((1,), jnp.float32)])
+        cs_k, c0_k, c1_k = dpmpp_coefficients(abt, ab_tgt)
+        per_stack = (t_stack, abt, cs_k, c0_k, c1_k, inv_gate)
+    else:
+        per_stack = (t_stack, abt, ab_prev, inv_gate)
 
     def decode(lat_):
         return vae.apply({"params": vae_params}, lat_ / scaling, method=AutoencoderKL.decode)
@@ -308,8 +335,11 @@ def _cfg_ddim_sample(
     grad_fn = jax.grad(feat_loss)
 
     def step(carry, per):
-        lat, rng = carry
-        t, a_t, a_prev, do_inv = per
+        lat, m_prev, rng = carry
+        if sampler == "dpmpp":
+            t, a_t, cs, k0, k1, do_inv = per
+        else:
+            t, a_t, a_prev, do_inv = per
         if cfg_batched:
             t2 = jnp.full((2 * shape[0],), t, jnp.int32)
             eps2 = unet_eps(jnp.concatenate([lat, lat], axis=0), t2, ctx2)
@@ -326,13 +356,19 @@ def _cfg_ddim_sample(
 
             lat = jax.lax.cond(do_inv, guided, lambda l: l, lat)
         x0 = (lat - jnp.sqrt(1 - a_t) * eps) / jnp.sqrt(a_t)
-        sigma = eta * jnp.sqrt((1 - a_prev) / (1 - a_t)) * jnp.sqrt(1 - a_t / a_prev)
-        dir_xt = jnp.sqrt(1 - a_prev - sigma**2) * eps
-        lat_new = jnp.sqrt(a_prev) * x0 + dir_xt
-        if eta > 0:
-            rng, nrng = jax.random.split(rng)
-            lat_new = lat_new + sigma * jax.random.normal(nrng, shape, jnp.float32)
-        return (lat_new, rng), None
+        if sampler == "dpmpp":
+            # x0-prediction 2M update (diffusion/dpm.py math, unclipped —
+            # latent space). m_prev is the previous step's x0-prediction.
+            lat_new = cs * lat + k0 * x0 + k1 * (x0 - m_prev)
+            m_prev = x0
+        else:
+            sigma = eta * jnp.sqrt((1 - a_prev) / (1 - a_t)) * jnp.sqrt(1 - a_t / a_prev)
+            dir_xt = jnp.sqrt(1 - a_prev - sigma**2) * eps
+            lat_new = jnp.sqrt(a_prev) * x0 + dir_xt
+            if eta > 0:
+                rng, nrng = jax.random.split(rng)
+                lat_new = lat_new + sigma * jax.random.normal(nrng, shape, jnp.float32)
+        return (lat_new, m_prev, rng), None
 
-    (lat, _), _ = jax.lax.scan(step, (lat, rng), (t_stack, abt, ab_prev, inv_gate))
+    (lat, _, _), _ = jax.lax.scan(step, (lat, jnp.zeros_like(lat), rng), per_stack)
     return decode(lat) if decode_pixels else lat

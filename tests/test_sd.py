@@ -204,3 +204,112 @@ def test_scan_step_math_vs_oracle():
         x0 = (lat - np.sqrt(1 - abt[i]) * eps) / np.sqrt(abt[i])
         lat = np.sqrt(ab_prev[i]) * x0 + np.sqrt(1 - ab_prev[i]) * eps
     np.testing.assert_allclose(lat, expect, rtol=1e-6)
+
+
+# ---------------------------------------------------- DPM-Solver++(2M) on SD
+
+
+def _tiny_decoder(rng_seed=0):
+    vae = AutoencoderKL(TINY_VAE)
+    unet = SDUNet(TINY_UNET)
+    x = jnp.zeros((1, 16, 16, 3))
+    vae_params = vae.init(jax.random.PRNGKey(0), x, jax.random.PRNGKey(1))["params"]
+    lat0 = jnp.zeros((1, 8, 8, 4))
+    ctx0 = jnp.zeros((1, 8, 16))
+    unet_params = unet.init(jax.random.PRNGKey(2), lat0, jnp.zeros((1,), jnp.int32), ctx0)["params"]
+    dec = StableDiffusionDecoder(
+        vae_params, unet_params, clip_dim=32, n_tokens=8,
+        unet_cfg=TINY_UNET, vae_cfg=TINY_VAE, dtype=jnp.float32,
+    )
+    return dec, unet, unet_params
+
+
+def _np_dpmpp_2m(eps_fn, lat, ts, ac, guidance):
+    """Independent float64 transcription of DPM-Solver++(2M) in the
+    x0-prediction form over the SD 'leading' grid with final target abar=1
+    (lower-order first and final steps, like diffusion/dpm.py)."""
+    ab_src = np.asarray(ac, np.float64)[ts]
+    ab_tgt = np.concatenate([ab_src[1:], np.ones(1)])
+    lam = 0.5 * (np.log(ab_src) - np.log1p(-ab_src))
+    m_prev = None
+    n = len(ts)
+    for i in range(n):
+        eps_u = eps_fn(lat, ts[i], -1.0)
+        eps_c = eps_fn(lat, ts[i], 1.0)
+        eps = eps_u + guidance * (eps_c - eps_u)
+        a_s, s_s = np.sqrt(ab_src[i]), np.sqrt(1 - ab_src[i])
+        m0 = (lat - s_s * eps) / a_s
+        if i == n - 1:  # final target abar=1 -> x = m0 exactly
+            lat = m0
+            break
+        a_t, s_t = np.sqrt(ab_tgt[i]), np.sqrt(1 - ab_tgt[i])
+        lam_t = 0.5 * (np.log(ab_tgt[i]) - np.log1p(-ab_tgt[i]))
+        h = lam_t - lam[i]
+        upd = -a_t * np.expm1(-h)
+        lat = (s_t / s_s) * lat + upd * m0
+        if i > 0:  # h_prev = spacing between the two most recent evals
+            lat = lat + 0.5 * upd * (h / (lam[i] - lam[i - 1])) * (m0 - m_prev)
+        m_prev = m0
+    return lat
+
+
+def test_sd_dpmpp_matches_numpy_stepper(rng):
+    """dec.sample(sampler='dpmpp') — one scan, CFG, real tiny UNet — equals
+    a per-step host loop applying the same UNet with independent float64
+    DPM++(2M) math over the SD leading grid."""
+    dec, unet, unet_params = _tiny_decoder()
+    z = jnp.asarray(rng.standard_normal((2, 32)), jnp.float32)
+    shape = (2, 8, 8, 4)
+    steps, guidance = 6, 2.5
+    key = jax.random.PRNGKey(7)
+    lat_fast = dec.sample(z, shape, steps=steps, guidance_scale=guidance,
+                          rng=key, decode_pixels=False, sampler="dpmpp",
+                          cfg_batched=False)
+
+    _, init_rng = jax.random.split(key)
+    lat = np.asarray(jax.random.normal(init_rng, shape, jnp.float32), np.float64)
+    cond = dec.adapter.apply({"params": dec.adapter_params}, z)
+    uncond = dec.adapter.apply({"params": dec.adapter_params}, jnp.zeros_like(z))
+
+    def eps_fn(lat_np, t, sign):
+        tb = jnp.full((2,), int(t), jnp.int32)
+        ctx = cond if sign > 0 else uncond
+        return np.asarray(
+            unet.apply({"params": unet_params}, jnp.asarray(lat_np, jnp.float32), tb, ctx),
+            np.float64,
+        )
+
+    ac = sd_alphas_cumprod(1000)
+    ts = sd_ddim_timesteps(steps)
+    expect = _np_dpmpp_2m(eps_fn, lat, ts, ac, guidance)
+    np.testing.assert_allclose(np.asarray(lat_fast), expect, rtol=1e-3, atol=1e-4)
+    # and it is NOT the DDIM trajectory (the solver actually differs)
+    lat_ddim = dec.sample(z, shape, steps=steps, guidance_scale=guidance,
+                          rng=key, decode_pixels=False, sampler="ddim",
+                          cfg_batched=False)
+    assert not np.allclose(np.asarray(lat_fast), np.asarray(lat_ddim), atol=1e-3)
+
+
+def test_sd_dpmpp_eta_rejected():
+    dec, _, _ = _tiny_decoder()
+    with pytest.raises(ValueError, match="deterministic"):
+        dec.sample(jnp.zeros((1, 32)), (1, 8, 8, 4), steps=4, eta=0.5, sampler="dpmpp")
+    with pytest.raises(ValueError, match="unknown sampler"):
+        dec.sample(jnp.zeros((1, 32)), (1, 8, 8, 4), steps=4, sampler="euler")
+
+
+def test_sd_dpmpp_with_inversion_runs(rng):
+    """Inversion guidance composes with the dpmpp update (the guidance edits
+    the latent BEFORE the solver update, same as ddim)."""
+    dec, _, _ = _tiny_decoder()
+    z = jnp.asarray(rng.standard_normal((1, 32)), jnp.float32)
+
+    def embed_fn(x_m11):
+        return jnp.mean(x_m11, axis=(1, 2))[:, :3].repeat(11, axis=-1)[:, :32]
+
+    img = dec.sample_with_inversion(
+        z, z, embed_fn, (1, 8, 8, 4), steps=4, guidance_scale=2.0,
+        inv_weight=0.5, inv_every=2, rng=jax.random.PRNGKey(0), sampler="dpmpp",
+    )
+    assert img.shape == (1, 16, 16, 3)
+    assert bool(jnp.isfinite(img).all())
