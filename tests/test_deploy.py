@@ -1,0 +1,108 @@
+"""AOT deployment artifacts (deploy.py): export the full decompress program
+via jax.export, reload it, and check it reproduces the live path without
+touching the model-building code.
+
+The deserialized program goes through XLA's AOT loader, which may codegen for
+slightly different machine features than the live JIT (observed: CPU AOT
+compiled with +prefer-no-scatter/+prefer-no-gather while the host JIT is not)
+— so artifact-vs-live comparison uses the repo's fp32 tolerance (~1e-4), while
+artifact-vs-itself (same seed) stays bitwise."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from clip_codec_tpu.deploy import export_decompressor, load_decompressor, make_decompress_fn
+from clip_codec_tpu.diffusion import NoiseSchedule, ddim_sample, dpmpp_sample
+from clip_codec_tpu.models import CLIPCondUNet
+from clip_codec_tpu.utils.config import ModelConfig
+
+MC = ModelConfig(z_dim=8, base=8, ch_mult=(1, 2), timesteps=25, schedule="cosine")
+
+
+@pytest.fixture(scope="module")
+def tiny_params():
+    net = CLIPCondUNet(z_dim=MC.z_dim, base=MC.base, ch_mult=MC.ch_mult, dtype=jnp.bfloat16)
+    return net.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)), jnp.zeros((1, MC.z_dim)),
+        jnp.zeros((1,), jnp.int32),
+    )["params"]
+
+
+def test_export_roundtrip(tmp_path, tiny_params, rng):
+    """Artifact output matches the live sampler; same seed is reproducible."""
+    path = export_decompressor(
+        tiny_params, MC, tmp_path / "dec.jaxprog", size=16, steps=4, batch_size=2
+    )
+    assert path.exists() and path.stat().st_size < 5_000_000  # no weights inside
+
+    call = load_decompressor(path)
+    z = jnp.asarray(rng.standard_normal((2, MC.z_dim)), jnp.float32)
+    out = call(tiny_params, z, seed=3)
+    assert out.shape == (2, 16, 16, 3)
+
+    live = make_decompress_fn(MC, size=16, steps=4)(tiny_params, z, jnp.int32(3))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(live), atol=1e-4)
+
+    # seeds change the trajectory; same seed reproduces it
+    out2 = call(tiny_params, z, seed=4)
+    assert not np.array_equal(np.asarray(out), np.asarray(out2))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(call(tiny_params, z, seed=3)))
+
+
+def test_export_dpmpp_variant(tmp_path, tiny_params, rng):
+    path = export_decompressor(
+        tiny_params, MC, tmp_path / "dec_dpm.jaxprog", size=16, steps=4,
+        batch_size=1, sampler="dpmpp",
+    )
+    call = load_decompressor(path)
+    z = jnp.asarray(rng.standard_normal((1, MC.z_dim)), jnp.float32)
+    out = call(tiny_params, z)
+    assert bool(jnp.isfinite(out).all())
+    live = make_decompress_fn(MC, size=16, steps=4, sampler="dpmpp")(
+        tiny_params, z, jnp.int32(0)
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(live), atol=1e-4)
+
+
+def test_shape_and_tree_mismatches_raise(tmp_path, tiny_params, rng):
+    path = export_decompressor(
+        tiny_params, MC, tmp_path / "dec.jaxprog", size=16, steps=2, batch_size=2
+    )
+    call = load_decompressor(path)
+    with pytest.raises(ValueError):
+        call(tiny_params, jnp.zeros((3, MC.z_dim)))  # wrong batch
+    with pytest.raises(ValueError):
+        call(tiny_params, jnp.zeros((2, MC.z_dim + 1)))  # wrong dim
+    bad_params = {"nope": jnp.zeros((1,))}
+    with pytest.raises((ValueError, TypeError)):
+        call(bad_params, jnp.zeros((2, MC.z_dim)))
+
+
+def test_export_decoder_cli(tmp_path, tiny_params, rng, monkeypatch):
+    """cli.export_decoder: checkpoint + model_config.json → loadable artifact."""
+    import sys
+
+    from clip_codec_tpu.cli.export_decoder import main
+    from clip_codec_tpu.utils.checkpoint import save_params
+
+    ckpt = save_params(tmp_path / "ckpt" / "unet.msgpack", tiny_params)
+    MC.save(tmp_path / "ckpt")
+    out = tmp_path / "dec.jaxprog"
+    monkeypatch.setattr(sys, "argv", [
+        "prog", "--weights", str(ckpt), "--out", str(out), "--size", "16",
+        "--steps", "3", "--batch_size", "1", "--device", "cpu",
+    ])
+    main()
+    call = load_decompressor(out)
+    z = jnp.asarray(rng.standard_normal((1, MC.z_dim)), jnp.float32)
+    img = call(tiny_params, z, seed=1)
+    assert img.shape == (1, 16, 16, 3) and bool(jnp.isfinite(img).all())
+
+
+def test_loader_rejects_foreign_files(tmp_path):
+    p = tmp_path / "junk.bin"
+    p.write_bytes(b"\x00" * 64)
+    with pytest.raises(ValueError, match="not a clip_codec_tpu exported program"):
+        load_decompressor(p)
