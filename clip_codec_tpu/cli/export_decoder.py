@@ -21,14 +21,22 @@ from ._common import apply_device_flag, default_device
 
 def main() -> None:
     ap = argparse.ArgumentParser(description="Export the decompress program as an AOT jax.export artifact.")
-    ap.add_argument("--weights", type=str, required=True,
-                    help="msgpack checkpoint or reference torch .pt state_dict")
+    ap.add_argument("--weights", type=str, default=None,
+                    help="pixel path: msgpack checkpoint or reference torch .pt state_dict")
+    ap.add_argument("--sd", action="store_true",
+                    help="export the SD latent path instead (frozen UNet/VAE from "
+                         "$CLIP_CODEC_SD_UNET_WEIGHTS/$CLIP_CODEC_SD_VAE_WEIGHTS + --adapter)")
+    ap.add_argument("--adapter", type=str, default=None,
+                    help="trained SD adapter checkpoint (with --sd)")
     ap.add_argument("--out", type=str, default="decoder.jaxprog")
-    ap.add_argument("--size", type=int, default=256)
-    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--size", type=int, default=None,
+                    help="output resolution (default: 256 pixel / 512 sd)")
+    ap.add_argument("--steps", type=int, default=None,
+                    help="sampling steps (default: 50 pixel / 30 sd)")
     ap.add_argument("--eta", type=float, default=0.0)
-    ap.add_argument("--batch_size", type=int, default=16,
-                    help="static serving batch baked into the artifact")
+    ap.add_argument("--batch_size", type=int, default=None,
+                    help="static serving batch baked into the artifact "
+                         "(default: 16 pixel / 1 sd)")
     ap.add_argument("--sampler", type=str, default="ddim", choices=("ddim", "dpmpp"))
     ap.add_argument("--platforms", type=str, default=None,
                     help="comma-separated lowering targets, e.g. 'tpu,cpu' "
@@ -38,8 +46,20 @@ def main() -> None:
     ap.add_argument("--ch_mult", type=str, default=None)
     ap.add_argument("--z_dim", type=int, default=None,
                     help="override the z_dim inferred from the checkpoint")
+    ap.add_argument("--heads", type=int, default=8,
+                    help="SD UNet attention heads (not recoverable from kernel shapes)")
     args = ap.parse_args()
     apply_device_flag(args.device)
+    platforms = args.platforms.split(",") if args.platforms else None
+
+    if args.sd:
+        _export_sd(args, platforms)
+        return
+    if args.weights is None:
+        ap.error("--weights is required (or pass --sd --adapter for the SD path)")
+    args.size = 256 if args.size is None else args.size
+    args.steps = 50 if args.steps is None else args.steps
+    args.batch_size = 16 if args.batch_size is None else args.batch_size
 
     from ..deploy import export_decompressor
     from ..utils.checkpoint import load_unet_checkpoint
@@ -65,6 +85,40 @@ def main() -> None:
     print(f"Exported {path} ({path.stat().st_size / 1024:.1f} KiB, "
           f"sampler={args.sampler}, steps={args.steps}, size={args.size}, "
           f"batch={args.batch_size})")
+
+
+def _export_sd(args, platforms) -> None:
+    import os
+
+    if args.adapter is None:
+        raise SystemExit("--sd requires --adapter <trained adapter checkpoint>")
+    unet_path = os.environ.get("CLIP_CODEC_SD_UNET_WEIGHTS")
+    vae_path = os.environ.get("CLIP_CODEC_SD_VAE_WEIGHTS")
+    if not unet_path or not vae_path:
+        raise RuntimeError(
+            "SD weights not configured. Convert diffusers SD-1.5 UNet/VAE checkpoints and set "
+            "CLIP_CODEC_SD_UNET_WEIGHTS and CLIP_CODEC_SD_VAE_WEIGHTS."
+        )
+    from pathlib import Path
+
+    from ..deploy import export_sd_decompressor
+    from ..weights.convert_sd import infer_sd_configs, load_sd_params
+    from .reconstruct_sd_diffusion import load_adapter_params
+
+    size = 512 if args.size is None else args.size
+    steps = 30 if args.steps is None else args.steps
+    batch = 1 if args.batch_size is None else args.batch_size
+    unet_params, vae_params = load_sd_params(unet_path, vae_path)
+    unet_cfg, vae_cfg = infer_sd_configs(unet_params, vae_params, heads=args.heads)
+    adapter_params = load_adapter_params(Path(args.adapter))
+    path = export_sd_decompressor(
+        unet_params, vae_params, adapter_params, args.out,
+        unet_cfg=unet_cfg, vae_cfg=vae_cfg, clip_dim=args.z_dim,
+        size=size, steps=steps, sampler=args.sampler, eta=args.eta,
+        batch_size=batch, platforms=platforms,
+    )
+    print(f"Exported {path} ({path.stat().st_size / 1024:.1f} KiB, sd path, "
+          f"sampler={args.sampler}, steps={steps}, size={size}, batch={batch})")
 
 
 if __name__ == "__main__":

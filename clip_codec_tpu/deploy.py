@@ -46,9 +46,52 @@ from .utils.config import ModelConfig
 
 PathLike = Union[str, Path]
 
-# Artifact magic prefix: lets the loader fail with a clear message on a file
-# that is not ours (the jax.export blob itself has no recognizable header).
+# Artifact header: magic prefix (lets the loader fail with a clear message on
+# a file that is not ours — the jax.export blob itself has no recognizable
+# header) followed by one JSON metadata line recording the kind ("pixel" /
+# "sd") and the static choices baked into the program (size, steps, sampler,
+# batch_size, ...) so serving layers can validate requests against them.
 _MAGIC = b"CLPJAXPROG1\n"
+_KINDS = ("pixel", "sd")
+
+
+def _write_artifact(path: PathLike, kind: str, meta: dict, exp) -> Path:
+    import json
+
+    path = Path(path)
+    header = json.dumps({"kind": kind, **meta}, sort_keys=True).encode()
+    path.write_bytes(_MAGIC + header + b"\n" + exp.serialize())
+    return path
+
+
+def read_artifact_meta(path: PathLike) -> dict:
+    """The metadata header of an exported artifact (no program deserialization)."""
+    import json
+
+    with open(path, "rb") as f:
+        magic = f.read(len(_MAGIC))
+        if magic != _MAGIC:
+            raise ValueError(f"{path}: not a clip_codec_tpu exported program")
+        header = f.readline()
+    try:
+        meta = json.loads(header)
+    except ValueError as e:
+        raise ValueError(f"{path}: corrupt artifact header: {e}") from None
+    if meta.get("kind") not in _KINDS:
+        raise ValueError(f"{path}: unknown artifact kind {meta.get('kind')!r}")
+    return meta
+
+
+def _read_artifact(path: PathLike, expect_kind: str):
+    meta = read_artifact_meta(path)
+    if meta["kind"] != expect_kind:
+        raise ValueError(
+            f"{path}: this is a {meta['kind']!r} artifact — load it with "
+            f"load_{'sd_' if meta['kind'] == 'sd' else ''}decompressor"
+        )
+    blob = Path(path).read_bytes()
+    body = blob[len(_MAGIC):].partition(b"\n")[2]
+    return jax_export.deserialize(bytearray(body)), meta
 
 
 def make_decompress_fn(
@@ -110,9 +153,9 @@ def export_decompressor(
     seed_spec = jax.ShapeDtypeStruct((), jnp.int32)
     kwargs = {} if platforms is None else {"platforms": list(platforms)}
     exp = jax_export.export(run, **kwargs)(p_spec, z_spec, seed_spec)
-    path = Path(path)
-    path.write_bytes(_MAGIC + exp.serialize())
-    return path
+    meta = dict(size=size, steps=steps, sampler=sampler, eta=eta,
+                batch_size=batch_size, z_dim=mc.z_dim, img_ch=mc.img_ch)
+    return _write_artifact(path, "pixel", meta, exp)
 
 
 def load_decompressor(path: PathLike):
@@ -120,19 +163,165 @@ def load_decompressor(path: PathLike):
 
     Returns ``call(params, z, seed=0) -> images``. Shape/dtype/tree-structure
     and platform mismatches raise from ``jax.export`` with the exact
-    discrepancy; no model code is imported or traced.
+    discrepancy; no model code is imported or traced. The export-time static
+    choices ride on ``call.meta``.
     """
-    blob = Path(path).read_bytes()
-    if not blob.startswith(_MAGIC):
-        raise ValueError(f"{path}: not a clip_codec_tpu exported program")
-    exp = jax_export.deserialize(bytearray(blob[len(_MAGIC):]))
+    exp, meta = _read_artifact(path, "pixel")
 
     def call(params, z, seed=0):
         return exp.call(params, jnp.asarray(z, jnp.float32), jnp.asarray(seed, jnp.int32))
 
     call.platforms = exp.platforms  # type: ignore[attr-defined]
     call.in_avals = exp.in_avals  # type: ignore[attr-defined]
+    call.meta = meta  # type: ignore[attr-defined]
     return call
 
 
-__all__ = ["make_decompress_fn", "export_decompressor", "load_decompressor"]
+# ---------------------------------------------------------------------------
+# SD latent path: the CFG DDIM / DPM-Solver++ trajectory + VAE decode as one
+# exported program. Parameter trees (frozen 860M UNet, VAE, trained adapter)
+# are call-time arguments — the artifact stays KB-sized at SD-1.5 scale —
+# and guidance_scale rides as a traced scalar, so ONE artifact serves every
+# checkpoint of the architecture at every CFG value.
+# ---------------------------------------------------------------------------
+
+
+def make_sd_decompress_fn(
+    unet_cfg=None,
+    vae_cfg=None,
+    *,
+    clip_dim: int = 512,
+    n_tokens: int = 8,
+    adapter_hidden: int = 1024,
+    size: int = 512,
+    steps: int = 30,
+    sampler: str = "ddim",
+    eta: float = 0.0,
+    cfg_batched: Optional[bool] = None,
+    batch_size: int = 1,
+):
+    """Build ``(unet_params, vae_params, adapter_params, z, seed,
+    guidance_scale) -> images`` for the SD latent path.
+
+    Mirrors :meth:`StableDiffusionDecoder.sample` (reference
+    ``models/sd_decoder.py:76-90`` semantics) as a pure function of the three
+    parameter trees. ``cfg_batched=None`` auto-picks the measured-best CFG
+    mode for ``batch_size`` (batched pair below the B=4 MXU knee).
+    """
+    from .models.sd import SD15_UNET, SD15_VAE, SDClipAdapter, SDUNet, AutoencoderKL
+    from .models.sd.decoder import SD_SCALING_FACTOR, _cfg_ddim_sample
+
+    if sampler not in ("ddim", "dpmpp"):
+        raise ValueError(f"unknown sampler {sampler!r}; choose 'ddim' or 'dpmpp'")
+    if sampler == "dpmpp" and eta != 0.0:
+        raise ValueError("DPM-Solver++ is deterministic: eta must be 0.0")
+    unet_cfg = unet_cfg if unet_cfg is not None else SD15_UNET
+    vae_cfg = vae_cfg if vae_cfg is not None else SD15_VAE
+    unet = SDUNet(unet_cfg, dtype=jnp.bfloat16)
+    vae = AutoencoderKL(vae_cfg, dtype=jnp.bfloat16)
+    adapter = SDClipAdapter(
+        in_dim=clip_dim, ctx_dim=unet_cfg.cross_dim, n_tokens=n_tokens,
+        hidden=adapter_hidden, dtype=jnp.float32,
+    )
+    down = 2 ** (len(vae_cfg.block_out) - 1)
+    if size % down:
+        raise ValueError(f"size {size} not divisible by the VAE factor {down}")
+    shape = (batch_size, size // down, size // down, vae_cfg.latent_ch)
+    batched = batch_size <= 4 if cfg_batched is None else bool(cfg_batched)
+
+    def run(unet_params, vae_params, adapter_params, z, seed, guidance_scale):
+        rng = jax.random.PRNGKey(seed)
+        x = _cfg_ddim_sample(
+            unet, vae, adapter,
+            {"params": unet_params}, vae_params, adapter_params,
+            z, z, rng, jnp.asarray(guidance_scale, jnp.float32),
+            embed_fn=None, shape=shape, steps=int(steps), eta=float(eta),
+            inv_weight=0.0, inv_every=1, decode_pixels=True,
+            scaling=SD_SCALING_FACTOR, cfg_batched=batched,
+            sampler=str(sampler),
+        )
+        return jnp.clip(x, -1.0, 1.0)
+
+    return run
+
+
+def export_sd_decompressor(
+    unet_params,
+    vae_params,
+    adapter_params,
+    path: PathLike,
+    *,
+    unet_cfg=None,
+    vae_cfg=None,
+    clip_dim: Optional[int] = None,
+    n_tokens: Optional[int] = None,
+    size: int = 512,
+    steps: int = 30,
+    sampler: str = "ddim",
+    eta: float = 0.0,
+    cfg_batched: Optional[bool] = None,
+    batch_size: int = 1,
+    platforms: Optional[Sequence[str]] = None,
+) -> Path:
+    """Trace + lower the full SD decompress program and serialize it.
+
+    All three parameter trees are used for their SHAPES only — the artifact
+    carries no weights (at SD-1.5 scale that is the difference between a
+    ~100 KiB program and a ~3.4 GB one). The adapter geometry (clip_dim,
+    hidden, n_tokens) is inferred from ``adapter_params`` unless overridden.
+    """
+    from .models.sd import SD15_UNET
+
+    ucfg = unet_cfg if unet_cfg is not None else SD15_UNET
+    fc1 = jnp.shape(adapter_params["fc1"]["kernel"])
+    fc2_out = jnp.shape(adapter_params["fc2"]["kernel"])[1]
+    clip_dim = int(fc1[0]) if clip_dim is None else clip_dim
+    hidden = int(fc1[1])
+    n_tokens = fc2_out // ucfg.cross_dim if n_tokens is None else n_tokens
+    run = jax.jit(make_sd_decompress_fn(
+        unet_cfg, vae_cfg, clip_dim=clip_dim, n_tokens=n_tokens,
+        adapter_hidden=hidden, size=size, steps=steps, sampler=sampler,
+        eta=eta, cfg_batched=cfg_batched, batch_size=batch_size,
+    ))
+    spec = lambda tree: jax.tree.map(  # noqa: E731
+        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype), tree
+    )
+    z_spec = jax.ShapeDtypeStruct((batch_size, clip_dim), jnp.float32)
+    seed_spec = jax.ShapeDtypeStruct((), jnp.int32)
+    g_spec = jax.ShapeDtypeStruct((), jnp.float32)
+    kwargs = {} if platforms is None else {"platforms": list(platforms)}
+    exp = jax_export.export(run, **kwargs)(
+        spec(unet_params), spec(vae_params), spec(adapter_params),
+        z_spec, seed_spec, g_spec,
+    )
+    meta = dict(size=size, steps=steps, sampler=sampler, eta=eta,
+                batch_size=batch_size, z_dim=clip_dim, n_tokens=n_tokens)
+    return _write_artifact(path, "sd", meta, exp)
+
+
+def load_sd_decompressor(path: PathLike):
+    """Load an artifact written by :func:`export_sd_decompressor`.
+
+    Returns ``call(unet_params, vae_params, adapter_params, z, seed=0,
+    guidance_scale=5.0) -> images`` ([-1, 1], NHWC); export-time statics on
+    ``call.meta``."""
+    exp, meta = _read_artifact(path, "sd")
+
+    def call(unet_params, vae_params, adapter_params, z, seed=0, guidance_scale=5.0):
+        return exp.call(
+            unet_params, vae_params, adapter_params,
+            jnp.asarray(z, jnp.float32), jnp.asarray(seed, jnp.int32),
+            jnp.asarray(guidance_scale, jnp.float32),
+        )
+
+    call.platforms = exp.platforms  # type: ignore[attr-defined]
+    call.in_avals = exp.in_avals  # type: ignore[attr-defined]
+    call.meta = meta  # type: ignore[attr-defined]
+    return call
+
+
+__all__ = [
+    "make_decompress_fn", "export_decompressor", "load_decompressor",
+    "make_sd_decompress_fn", "export_sd_decompressor", "load_sd_decompressor",
+    "read_artifact_meta",
+]

@@ -17,6 +17,12 @@ Endpoints:
 Run: ``python -m clip_codec_tpu.serve --store_dir store [--port 8700]``.
 Requests are serialized through one lock — a single accelerator executes one
 program at a time anyway; concurrency belongs at the batch dimension.
+
+``--artifact decoder.jaxprog`` serves ``/decompress`` from an AOT-exported
+program (``cli.export_decoder``) instead of tracing the model: no flax model
+construction or compile at startup, and the size/steps/sampler statics are
+validated against the artifact's metadata header (412 on mismatch — the
+program is compiled for exactly one configuration; re-export for another).
 """
 
 from __future__ import annotations
@@ -35,7 +41,9 @@ from PIL import Image
 from .codec import ClipCodec
 
 
-def make_handler(codec: ClipCodec):
+def make_handler(codec: ClipCodec, artifact=None):
+    """``artifact``: optional ``(call, params)`` from an AOT-exported pixel
+    decompressor — replaces the traced /decompress path."""
     lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
@@ -73,14 +81,35 @@ def make_handler(codec: ClipCodec):
                         z = codec.decode_embeddings([self._body()])[0]
                     self._json(200, {"embedding": [float(v) for v in z]})
                 elif url.path == "/decompress":
-                    size = int(q.get("size", ["256"])[0])
-                    steps = int(q.get("steps", ["50"])[0])
-                    sampler = q.get("sampler", ["ddim"])[0]
-                    with lock:
-                        img = codec.decompress([self._body()], size=size, steps=steps,
-                                               batch_size=1, sampler=sampler)[0]
+                    if artifact is not None:
+                        call, params = artifact
+                        meta = call.meta
+                        mismatches = {
+                            k: (q[k][0], meta[k]) for k, cast in
+                            (("size", int), ("steps", int), ("sampler", str))
+                            if k in q and cast(q[k][0]) != meta[k]
+                        }
+                        if mismatches:
+                            self._json(412, {
+                                "error": "artifact statics mismatch; re-export "
+                                         "with cli.export_decoder",
+                                "requested": {k: v[0] for k, v in mismatches.items()},
+                                "artifact": {k: meta[k] for k in mismatches},
+                            })
+                            return
+                        z = codec.decode_embeddings([self._body()])
+                        seed = int(q.get("seed", ["0"])[0])
+                        with lock:
+                            img = np.asarray(call(params, z, seed=seed))[0]
+                    else:
+                        size = int(q.get("size", ["256"])[0])
+                        steps = int(q.get("steps", ["50"])[0])
+                        sampler = q.get("sampler", ["ddim"])[0]
+                        with lock:
+                            img = codec.decompress([self._body()], size=size, steps=steps,
+                                                   batch_size=1, sampler=sampler)[0]
                     buf = io.BytesIO()
-                    Image.fromarray(((img + 1.0) * 127.5).astype(np.uint8)).save(buf, format="PNG")
+                    Image.fromarray(((np.clip(img, -1, 1) + 1.0) * 127.5).astype(np.uint8)).save(buf, format="PNG")
                     self._send(200, buf.getvalue(), "image/png")
                 else:
                     self._json(404, {"error": "unknown endpoint"})
@@ -95,10 +124,29 @@ def make_handler(codec: ClipCodec):
     return Handler
 
 
-def serve(store_dir: str, weights: Optional[str] = None, host: str = "127.0.0.1", port: int = 8700):
+def serve(store_dir: str, weights: Optional[str] = None, host: str = "127.0.0.1",
+          port: int = 8700, artifact: Optional[str] = None):
     codec = ClipCodec.load(store_dir, weights=weights)
-    server = ThreadingHTTPServer((host, port), make_handler(codec))
-    print(f"[serve] codec (dim={codec.dim}) on http://{host}:{port}")
+    art = None
+    if artifact is not None:
+        if weights is None:
+            raise ValueError("--artifact serving still needs --weights (params "
+                             "are call-time arguments, not baked into artifacts)")
+        from .deploy import load_decompressor
+        from .utils.checkpoint import load_unet_checkpoint
+        from .utils.config import ModelConfig
+
+        call = load_decompressor(artifact)
+        if call.meta["batch_size"] != 1:
+            raise ValueError(
+                f"serving artifacts must be exported with --batch_size 1 "
+                f"(got {call.meta['batch_size']}); requests carry one frame")
+        mc = ModelConfig.find_for_checkpoint(weights)
+        ch_mult = mc.ch_mult if mc else (1, 2, 2)
+        art = (call, load_unet_checkpoint(weights, ch_mult))
+    server = ThreadingHTTPServer((host, port), make_handler(codec, artifact=art))
+    mode = f", artifact={artifact}" if artifact else ""
+    print(f"[serve] codec (dim={codec.dim}{mode}) on http://{host}:{port}")
     return server
 
 
@@ -108,12 +156,16 @@ def main() -> None:
     ap.add_argument("--weights", type=str, default=None)
     ap.add_argument("--host", type=str, default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8700)
+    ap.add_argument("--artifact", type=str, default=None,
+                    help="AOT-exported decoder.jaxprog (cli.export_decoder); "
+                         "serves /decompress without tracing the model")
     from .cli._common import add_int8_flag, apply_int8_flag
 
     add_int8_flag(ap)
     args = ap.parse_args()
     apply_int8_flag(args)
-    serve(args.store_dir, args.weights, args.host, args.port).serve_forever()
+    serve(args.store_dir, args.weights, args.host, args.port,
+          artifact=args.artifact).serve_forever()
 
 
 if __name__ == "__main__":

@@ -13,8 +13,13 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from clip_codec_tpu.deploy import export_decompressor, load_decompressor, make_decompress_fn
-from clip_codec_tpu.diffusion import NoiseSchedule, ddim_sample, dpmpp_sample
+from clip_codec_tpu.deploy import (
+    export_decompressor,
+    export_sd_decompressor,
+    load_decompressor,
+    load_sd_decompressor,
+    make_decompress_fn,
+)
 from clip_codec_tpu.models import CLIPCondUNet
 from clip_codec_tpu.utils.config import ModelConfig
 
@@ -106,3 +111,55 @@ def test_loader_rejects_foreign_files(tmp_path):
     p.write_bytes(b"\x00" * 64)
     with pytest.raises(ValueError, match="not a clip_codec_tpu exported program"):
         load_decompressor(p)
+
+
+def test_sd_export_roundtrip(tmp_path, rng):
+    """SD-path artifact: matches the live StableDiffusionDecoder.sample and
+    serves every guidance_scale (traced scalar) from one program."""
+    from clip_codec_tpu.models.sd import (
+        SDUNetConfig, StableDiffusionDecoder, VAEConfig,
+    )
+
+    from clip_codec_tpu.models.sd import AutoencoderKL, SDClipAdapter, SDUNet
+
+    ucfg = SDUNetConfig(block_out=(8, 16), layers_per_block=1, cross_dim=16,
+                        heads=2, freq_dim=8)
+    vcfg = VAEConfig(block_out=(8, 16), layers_per_block=1, latent_ch=4)
+
+    unet = SDUNet(ucfg, dtype=jnp.bfloat16)
+    vae = AutoencoderKL(vcfg, dtype=jnp.bfloat16)
+    adapter = SDClipAdapter(in_dim=8, ctx_dim=ucfg.cross_dim, n_tokens=2)
+    k = jax.random.PRNGKey(0)
+    up = unet.init(k, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,), jnp.int32),
+                   jnp.zeros((1, 2, ucfg.cross_dim)))["params"]
+    vp = vae.init(k, jnp.zeros((1, 16, 16, 3)), jax.random.PRNGKey(1))["params"]
+    ap = adapter.init(k, jnp.zeros((1, 8)))["params"]
+
+    # clip_dim / hidden / n_tokens are inferred from the adapter tree
+    path = export_sd_decompressor(
+        up, vp, ap, tmp_path / "sd.jaxprog", unet_cfg=ucfg, vae_cfg=vcfg,
+        size=16, steps=3, batch_size=2,
+    )
+    assert path.stat().st_size < 5_000_000  # no weights inside
+
+    call = load_sd_decompressor(path)
+    z = jnp.asarray(rng.standard_normal((2, 8)), jnp.float32)
+    out = call(up, vp, ap, z, seed=5, guidance_scale=4.0)
+    assert out.shape == (2, 16, 16, 3) and bool(jnp.isfinite(out).all())
+
+    live_dec = StableDiffusionDecoder(
+        vae_params=vp, unet_params=up, adapter_params=ap, clip_dim=8,
+        n_tokens=2, unet_cfg=ucfg, vae_cfg=vcfg,
+    )
+    live = live_dec.sample(z, (2, 8, 8, 4), steps=3, guidance_scale=4.0,
+                           rng=jax.random.PRNGKey(5))
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(jnp.clip(live, -1, 1)), atol=1e-4)
+
+    # one artifact, every CFG value: guidance is traced, not baked
+    out_g0 = call(up, vp, ap, z, seed=5, guidance_scale=0.0)
+    assert not np.array_equal(np.asarray(out), np.asarray(out_g0))
+
+    # kind routing: the pixel loader refuses an sd artifact with a pointer
+    with pytest.raises(ValueError, match="'sd' artifact"):
+        load_decompressor(path)

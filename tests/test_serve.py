@@ -15,9 +15,8 @@ from clip_codec_tpu.serve import serve
 from clip_codec_tpu.train import DiffusionTrainConfig, train_diffusion
 
 
-@pytest.fixture(scope="module")
-def server(tmp_path_factory):
-    tmp = tmp_path_factory.mktemp("serve")
+def _tiny_trained_store(tmp):
+    """Store of 4 random embeddings + 1-epoch-trained tiny UNet checkpoint."""
     rng = np.random.default_rng(0)
     img_dir = tmp / "imgs"
     img_dir.mkdir()
@@ -32,9 +31,14 @@ def server(tmp_path_factory):
     q = np.asarray(quantize(feats, scale, zero))
     store = tmp / "store"
     write_store(store, feats, paths, np.asarray(scale), np.asarray(zero), q)
-    train_diffusion(store, config=DiffusionTrainConfig(
+    ckpt = train_diffusion(store, config=DiffusionTrainConfig(
         out_size=16, epochs=1, batch_size=4, timesteps=50, base=8, ch_mult=(1, 2), bf16=False))
+    return store, q, ckpt
 
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    store, q, _ = _tiny_trained_store(tmp_path_factory.mktemp("serve"))
     srv = serve(str(store), port=0)  # ephemeral port
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
@@ -121,3 +125,60 @@ def test_unknown_endpoint_404(server):
     addr, _ = server
     status, _, _ = _request(addr, "POST", "/nope", b"")
     assert status == 404
+
+
+# ---------------------------------------------------------------- artifact
+
+
+@pytest.fixture(scope="module")
+def artifact_server(tmp_path_factory):
+    """Server whose /decompress runs the AOT-exported program."""
+    from clip_codec_tpu.deploy import export_decompressor
+    from clip_codec_tpu.utils.checkpoint import load_params
+    from clip_codec_tpu.utils.config import ModelConfig
+
+    tmp = tmp_path_factory.mktemp("serve_art")
+    store, q, ckpt = _tiny_trained_store(tmp)
+    mc = ModelConfig.find_for_checkpoint(ckpt)
+    art = export_decompressor(load_params(ckpt), mc, tmp / "dec.jaxprog",
+                              size=16, steps=3, batch_size=1)
+    srv = serve(str(store), weights=str(ckpt), port=0, artifact=str(art))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv.server_address, q, (store, ckpt, mc, tmp)
+    srv.shutdown()
+
+
+def test_artifact_decompress(artifact_server):
+    addr, q, _ = artifact_server
+    blob = compress_frame(q[2].tobytes())
+    status, ctype, data = _request(addr, "POST", "/decompress?seed=7", blob)
+    assert status == 200 and ctype == "image/png"
+    import io as _io
+
+    assert Image.open(_io.BytesIO(data)).size == (16, 16)
+    # same seed reproduces the PNG byte-for-byte; a different seed does not
+    assert _request(addr, "POST", "/decompress?seed=7", blob)[2] == data
+    assert _request(addr, "POST", "/decompress?seed=8", blob)[2] != data
+
+
+def test_artifact_statics_mismatch_412(artifact_server):
+    addr, q, _ = artifact_server
+    blob = compress_frame(q[2].tobytes())
+    # matching statics are accepted explicitly
+    assert _request(addr, "POST", "/decompress?size=16&steps=3", blob)[0] == 200
+    status, _, data = _request(addr, "POST", "/decompress?steps=50", blob)
+    assert status == 412
+    err = json.loads(data)
+    assert err["requested"] == {"steps": "50"} and err["artifact"] == {"steps": 3}
+
+
+def test_artifact_requires_batch1(artifact_server):
+    _, _, (store, ckpt, mc, tmp) = artifact_server
+    from clip_codec_tpu.deploy import export_decompressor
+    from clip_codec_tpu.utils.checkpoint import load_params
+
+    art = export_decompressor(load_params(ckpt), mc, tmp / "dec_b4.jaxprog",
+                              size=16, steps=3, batch_size=4)
+    with pytest.raises(ValueError, match="batch_size 1"):
+        serve(str(store), weights=str(ckpt), port=0, artifact=str(art))
