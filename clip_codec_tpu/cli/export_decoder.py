@@ -48,7 +48,12 @@ def main() -> None:
                     help="override the z_dim inferred from the checkpoint")
     ap.add_argument("--heads", type=int, default=8,
                     help="SD UNet attention heads (not recoverable from kernel shapes)")
+    ap.add_argument("--int8", action="store_true",
+                    help="pixel path: static-int8 serving program; calibrates "
+                         "here and writes <out>.quant.msgpack for serve boxes")
     args = ap.parse_args()
+    if args.sd and args.int8:
+        raise SystemExit("--int8 artifact export is pixel-path only for now")
     apply_device_flag(args.device)
     platforms = args.platforms.split(",") if args.platforms else None
 
@@ -76,15 +81,30 @@ def main() -> None:
         if args.base is not None:
             overrides["base"] = args.base
         mc = ModelConfig.infer_from_params(params, **overrides)
-    platforms = args.platforms.split(",") if args.platforms else None
+    quant = None
+    if args.int8:
+        # calibrate on the build box (real params available here) and ship
+        # the 'quant' collection as a sidecar the serving box passes back in
+        import jax.numpy as jnp
+
+        from ..models import CLIPCondUNet
+        from ..ops.int8 import calibrate_unet
+        from ..utils.checkpoint import save_params
+
+        net = CLIPCondUNet(z_dim=mc.z_dim, base=mc.base, ch_mult=mc.ch_mult,
+                           img_ch=mc.img_ch, dtype=jnp.bfloat16, int8=True)
+        quant = calibrate_unet(net.apply, {"params": params}, args.size,
+                               mc.z_dim, timesteps=mc.timesteps)
+        save_params(str(args.out) + ".quant.msgpack", quant)
     path = export_decompressor(
         params, mc, args.out, size=args.size, steps=args.steps,
         sampler=args.sampler, eta=args.eta, batch_size=args.batch_size,
-        platforms=platforms,
+        quant=quant, platforms=platforms,
     )
+    sidecar = f" + {path}.quant.msgpack" if args.int8 else ""
     print(f"Exported {path} ({path.stat().st_size / 1024:.1f} KiB, "
           f"sampler={args.sampler}, steps={args.steps}, size={args.size}, "
-          f"batch={args.batch_size})")
+          f"batch={args.batch_size}, int8={args.int8}){sidecar}")
 
 
 def _export_sd(args, platforms) -> None:

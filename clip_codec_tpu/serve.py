@@ -42,8 +42,9 @@ from .codec import ClipCodec
 
 
 def make_handler(codec: ClipCodec, artifact=None):
-    """``artifact``: optional ``(call, params)`` from an AOT-exported pixel
-    decompressor — replaces the traced /decompress path."""
+    """``artifact``: optional ``(call, params, quant)`` from an AOT-exported
+    pixel decompressor — replaces the traced /decompress path (``quant`` is
+    the int8 calibration sidecar, None for bf16 artifacts)."""
     lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
@@ -82,7 +83,7 @@ def make_handler(codec: ClipCodec, artifact=None):
                     self._json(200, {"embedding": [float(v) for v in z]})
                 elif url.path == "/decompress":
                     if artifact is not None:
-                        call, params = artifact
+                        call, params, quant = artifact
                         meta = call.meta
                         mismatches = {
                             k: (q[k][0], meta[k]) for k, cast in
@@ -99,8 +100,9 @@ def make_handler(codec: ClipCodec, artifact=None):
                             return
                         z = codec.decode_embeddings([self._body()])
                         seed = int(q.get("seed", ["0"])[0])
+                        kw = {} if quant is None else {"quant": quant}
                         with lock:
-                            img = np.asarray(call(params, z, seed=seed))[0]
+                            img = np.asarray(call(params, z, seed=seed, **kw))[0]
                     else:
                         size = int(q.get("size", ["256"])[0])
                         steps = int(q.get("steps", ["50"])[0])
@@ -141,9 +143,20 @@ def serve(store_dir: str, weights: Optional[str] = None, host: str = "127.0.0.1"
             raise ValueError(
                 f"serving artifacts must be exported with --batch_size 1 "
                 f"(got {call.meta['batch_size']}); requests carry one frame")
+        quant = None
+        if call.meta.get("int8"):
+            from .utils.checkpoint import load_params
+
+            sidecar = f"{artifact}.quant.msgpack"
+            try:
+                quant = load_params(sidecar)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"int8 artifact: calibration sidecar {sidecar} not found "
+                    f"(cli.export_decoder --int8 writes it)") from None
         mc = ModelConfig.find_for_checkpoint(weights)
         ch_mult = mc.ch_mult if mc else (1, 2, 2)
-        art = (call, load_unet_checkpoint(weights, ch_mult))
+        art = (call, load_unet_checkpoint(weights, ch_mult), quant)
     server = ThreadingHTTPServer((host, port), make_handler(codec, artifact=art))
     mode = f", artifact={artifact}" if artifact else ""
     print(f"[serve] codec (dim={codec.dim}{mode}) on http://{host}:{port}")

@@ -113,6 +113,45 @@ def test_loader_rejects_foreign_files(tmp_path):
         load_decompressor(p)
 
 
+def test_int8_artifact_roundtrip(tmp_path, tiny_params, rng, monkeypatch):
+    """--int8 export: program + calibration sidecar reproduce the live
+    static-int8 sampler; the loader demands the quant collection."""
+    import sys
+
+    from clip_codec_tpu.cli.export_decoder import main
+    from clip_codec_tpu.diffusion import NoiseSchedule, make_sampler
+    from clip_codec_tpu.utils.checkpoint import load_params, save_params
+
+    ckpt = save_params(tmp_path / "ckpt" / "unet.msgpack", tiny_params)
+    MC.save(tmp_path / "ckpt")
+    out = tmp_path / "dec_int8.jaxprog"
+    monkeypatch.setattr(sys, "argv", [
+        "prog", "--weights", str(ckpt), "--out", str(out), "--size", "16",
+        "--steps", "3", "--batch_size", "1", "--device", "cpu", "--int8",
+    ])
+    main()
+    quant = load_params(str(out) + ".quant.msgpack")
+    call = load_decompressor(out)
+    assert call.meta["int8"] is True
+    z = jnp.asarray(rng.standard_normal((1, MC.z_dim)), jnp.float32)
+    with pytest.raises(ValueError, match="quant"):
+        call(tiny_params, z)
+    img = call(tiny_params, z, seed=2, quant=quant)
+    assert img.shape == (1, 16, 16, 3) and bool(jnp.isfinite(img).all())
+
+    # live static-int8 path (explicit int8 net + same quant collection)
+    net = CLIPCondUNet(z_dim=MC.z_dim, base=MC.base, ch_mult=MC.ch_mult,
+                       dtype=jnp.bfloat16, int8=True)
+    smp = make_sampler("ddim", NoiseSchedule.create(MC.timesteps, MC.schedule))
+    live = smp.sample(
+        lambda p, x, zz, t: net.apply(p, x, zz, t), z, (1, 16, 16, 3),
+        steps=3, rng=jax.random.PRNGKey(2),
+        model_params={"params": tiny_params, "quant": quant},
+    )
+    np.testing.assert_allclose(
+        np.asarray(img), np.asarray(jnp.clip(live, -1, 1)), atol=1e-4)
+
+
 def test_sd_export_roundtrip(tmp_path, rng):
     """SD-path artifact: matches the live StableDiffusionDecoder.sample and
     serves every guidance_scale (traced scalar) from one program."""
