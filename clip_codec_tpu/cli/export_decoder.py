@@ -49,11 +49,9 @@ def main() -> None:
     ap.add_argument("--heads", type=int, default=8,
                     help="SD UNet attention heads (not recoverable from kernel shapes)")
     ap.add_argument("--int8", action="store_true",
-                    help="pixel path: static-int8 serving program; calibrates "
-                         "here and writes <out>.quant.msgpack for serve boxes")
+                    help="static-int8 serving program; calibrates here and "
+                         "writes <out>.quant.msgpack for serve boxes")
     args = ap.parse_args()
-    if args.sd and args.int8:
-        raise SystemExit("--int8 artifact export is pixel-path only for now")
     apply_device_flag(args.device)
     platforms = args.platforms.split(",") if args.platforms else None
 
@@ -131,14 +129,39 @@ def _export_sd(args, platforms) -> None:
     unet_params, vae_params = load_sd_params(unet_path, vae_path)
     unet_cfg, vae_cfg = infer_sd_configs(unet_params, vae_params, heads=args.heads)
     adapter_params = load_adapter_params(Path(args.adapter))
+    quant = None
+    if args.int8:
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..models.sd import StableDiffusionDecoder
+        from ..utils.checkpoint import save_params
+
+        clip_dim = (int(jnp.shape(adapter_params["fc1"]["kernel"])[0])
+                    if args.z_dim is None else args.z_dim)
+        n_tokens = int(jnp.shape(adapter_params["fc2"]["kernel"])[1]) // unet_cfg.cross_dim
+        dec = StableDiffusionDecoder(
+            vae_params, unet_params, adapter_params=adapter_params,
+            clip_dim=clip_dim, n_tokens=n_tokens,
+            unet_cfg=unet_cfg, vae_cfg=vae_cfg, int8=True,
+        )
+        f = 2 ** (len(vae_cfg.block_out) - 1)
+        r = np.random.default_rng(0).standard_normal((batch, clip_dim))
+        z_cal = jnp.asarray(r / (np.linalg.norm(r, axis=1, keepdims=True) + 1e-9),
+                            jnp.float32)
+        dec.calibrate_int8_scales(z_cal, (batch, size // f, size // f, vae_cfg.latent_ch))
+        quant = dec.unet_quant
+        save_params(str(args.out) + ".quant.msgpack", quant)
     path = export_sd_decompressor(
         unet_params, vae_params, adapter_params, args.out,
         unet_cfg=unet_cfg, vae_cfg=vae_cfg, clip_dim=args.z_dim,
         size=size, steps=steps, sampler=args.sampler, eta=args.eta,
-        batch_size=batch, platforms=platforms,
+        batch_size=batch, quant=quant, platforms=platforms,
     )
+    sidecar = f" + {path}.quant.msgpack" if args.int8 else ""
     print(f"Exported {path} ({path.stat().st_size / 1024:.1f} KiB, sd path, "
-          f"sampler={args.sampler}, steps={steps}, size={size}, batch={batch})")
+          f"sampler={args.sampler}, steps={steps}, size={size}, batch={batch}, "
+          f"int8={args.int8}){sidecar}")
 
 
 if __name__ == "__main__":

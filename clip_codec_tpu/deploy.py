@@ -236,9 +236,11 @@ def make_sd_decompress_fn(
     eta: float = 0.0,
     cfg_batched: Optional[bool] = None,
     batch_size: int = 1,
+    int8: bool = False,
 ):
     """Build ``(unet_params, vae_params, adapter_params, z, seed,
-    guidance_scale) -> images`` for the SD latent path.
+    guidance_scale) -> images`` for the SD latent path (int8 mode: a
+    ``quant`` calibration collection precedes ``z``).
 
     Mirrors :meth:`StableDiffusionDecoder.sample` (reference
     ``models/sd_decoder.py:76-90`` semantics) as a pure function of the three
@@ -254,7 +256,9 @@ def make_sd_decompress_fn(
         raise ValueError("DPM-Solver++ is deterministic: eta must be 0.0")
     unet_cfg = unet_cfg if unet_cfg is not None else SD15_UNET
     vae_cfg = vae_cfg if vae_cfg is not None else SD15_VAE
-    unet = SDUNet(unet_cfg, dtype=jnp.bfloat16)
+    # int8 pins the UNet interior to the int8 MXU; the VAE stays fp (decode
+    # quality, small share of sampling time — models/sd/decoder.py:102-104)
+    unet = SDUNet(unet_cfg, dtype=jnp.bfloat16, int8=True if int8 else None)
     vae = AutoencoderKL(vae_cfg, dtype=jnp.bfloat16)
     adapter = SDClipAdapter(
         in_dim=clip_dim, ctx_dim=unet_cfg.cross_dim, n_tokens=n_tokens,
@@ -266,11 +270,11 @@ def make_sd_decompress_fn(
     shape = (batch_size, size // down, size // down, vae_cfg.latent_ch)
     batched = batch_size <= 4 if cfg_batched is None else bool(cfg_batched)
 
-    def run(unet_params, vae_params, adapter_params, z, seed, guidance_scale):
+    def sample(unet_vars, vae_params, adapter_params, z, seed, guidance_scale):
         rng = jax.random.PRNGKey(seed)
         x = _cfg_ddim_sample(
             unet, vae, adapter,
-            {"params": unet_params}, vae_params, adapter_params,
+            unet_vars, vae_params, adapter_params,
             z, z, rng, jnp.asarray(guidance_scale, jnp.float32),
             embed_fn=None, shape=shape, steps=int(steps), eta=float(eta),
             inv_weight=0.0, inv_every=1, decode_pixels=True,
@@ -278,6 +282,15 @@ def make_sd_decompress_fn(
             sampler=str(sampler),
         )
         return jnp.clip(x, -1.0, 1.0)
+
+    if int8:
+        def run(unet_params, vae_params, adapter_params, quant, z, seed, guidance_scale):
+            return sample({"params": unet_params, "quant": quant},
+                          vae_params, adapter_params, z, seed, guidance_scale)
+    else:
+        def run(unet_params, vae_params, adapter_params, z, seed, guidance_scale):
+            return sample({"params": unet_params},
+                          vae_params, adapter_params, z, seed, guidance_scale)
 
     return run
 
@@ -298,6 +311,7 @@ def export_sd_decompressor(
     eta: float = 0.0,
     cfg_batched: Optional[bool] = None,
     batch_size: int = 1,
+    quant=None,
     platforms: Optional[Sequence[str]] = None,
 ) -> Path:
     """Trace + lower the full SD decompress program and serialize it.
@@ -306,6 +320,11 @@ def export_sd_decompressor(
     carries no weights (at SD-1.5 scale that is the difference between a
     ~100 KiB program and a ~3.4 GB one). The adapter geometry (clip_dim,
     hidden, n_tokens) is inferred from ``adapter_params`` unless overridden.
+
+    ``quant``: a calibrated UNet ``'quant'`` collection
+    (:meth:`StableDiffusionDecoder.calibrate_int8_scales` /
+    ``decoder.unet_quant``) switches the program to static-int8 serving mode
+    (+9.4% at B=8); callers then pass the collection at call time.
     """
     from .models.sd import SD15_UNET
 
@@ -319,6 +338,7 @@ def export_sd_decompressor(
         unet_cfg, vae_cfg, clip_dim=clip_dim, n_tokens=n_tokens,
         adapter_hidden=hidden, size=size, steps=steps, sampler=sampler,
         eta=eta, cfg_batched=cfg_batched, batch_size=batch_size,
+        int8=quant is not None,
     ))
     spec = lambda tree: jax.tree.map(  # noqa: E731
         lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype), tree
@@ -327,12 +347,12 @@ def export_sd_decompressor(
     seed_spec = jax.ShapeDtypeStruct((), jnp.int32)
     g_spec = jax.ShapeDtypeStruct((), jnp.float32)
     kwargs = {} if platforms is None else {"platforms": list(platforms)}
-    exp = jax_export.export(run, **kwargs)(
-        spec(unet_params), spec(vae_params), spec(adapter_params),
-        z_spec, seed_spec, g_spec,
-    )
+    args = (spec(unet_params), spec(vae_params), spec(adapter_params))
+    args += ((spec(quant),) if quant is not None else ())
+    exp = jax_export.export(run, **kwargs)(*args, z_spec, seed_spec, g_spec)
     meta = dict(size=size, steps=steps, sampler=sampler, eta=eta,
-                batch_size=batch_size, z_dim=clip_dim, n_tokens=n_tokens)
+                batch_size=batch_size, z_dim=clip_dim, n_tokens=n_tokens,
+                int8=quant is not None)
     return _write_artifact(path, "sd", meta, exp)
 
 
@@ -340,16 +360,30 @@ def load_sd_decompressor(path: PathLike):
     """Load an artifact written by :func:`export_sd_decompressor`.
 
     Returns ``call(unet_params, vae_params, adapter_params, z, seed=0,
-    guidance_scale=5.0) -> images`` ([-1, 1], NHWC); export-time statics on
-    ``call.meta``."""
+    guidance_scale=5.0) -> images`` ([-1, 1], NHWC) — int8 artifacts
+    (``call.meta["int8"]``) additionally require ``quant=``; export-time
+    statics on ``call.meta``."""
     exp, meta = _read_artifact(path, "sd")
 
-    def call(unet_params, vae_params, adapter_params, z, seed=0, guidance_scale=5.0):
-        return exp.call(
-            unet_params, vae_params, adapter_params,
-            jnp.asarray(z, jnp.float32), jnp.asarray(seed, jnp.int32),
-            jnp.asarray(guidance_scale, jnp.float32),
-        )
+    if meta.get("int8"):
+        def call(unet_params, vae_params, adapter_params, z, seed=0,
+                 guidance_scale=5.0, quant=None):
+            if quant is None:
+                raise ValueError(
+                    "int8 artifact: pass quant= (the calibration collection "
+                    "exported next to it, <artifact>.quant.msgpack)")
+            return exp.call(
+                unet_params, vae_params, adapter_params, quant,
+                jnp.asarray(z, jnp.float32), jnp.asarray(seed, jnp.int32),
+                jnp.asarray(guidance_scale, jnp.float32),
+            )
+    else:
+        def call(unet_params, vae_params, adapter_params, z, seed=0, guidance_scale=5.0):
+            return exp.call(
+                unet_params, vae_params, adapter_params,
+                jnp.asarray(z, jnp.float32), jnp.asarray(seed, jnp.int32),
+                jnp.asarray(guidance_scale, jnp.float32),
+            )
 
     call.platforms = exp.platforms  # type: ignore[attr-defined]
     call.in_avals = exp.in_avals  # type: ignore[attr-defined]

@@ -202,3 +202,26 @@ def test_sd_export_roundtrip(tmp_path, rng):
     # kind routing: the pixel loader refuses an sd artifact with a pointer
     with pytest.raises(ValueError, match="'sd' artifact"):
         load_decompressor(path)
+
+    # --- static-int8 SD artifact: matches the live calibrated decoder
+    live_dec_i8 = StableDiffusionDecoder(
+        vae_params=vp, unet_params=up, adapter_params=ap, clip_dim=8,
+        n_tokens=2, unet_cfg=ucfg, vae_cfg=vcfg, int8=True,
+    )
+    live_dec_i8.calibrate_int8_scales(z, (2, 8, 8, 4))
+    path8 = export_sd_decompressor(
+        up, vp, ap, tmp_path / "sd_i8.jaxprog", unet_cfg=ucfg, vae_cfg=vcfg,
+        size=16, steps=3, batch_size=2, quant=live_dec_i8.unet_quant,
+    )
+    call8 = load_sd_decompressor(path8)
+    assert call8.meta["int8"] is True
+    with pytest.raises(ValueError, match="quant"):
+        call8(up, vp, ap, z)
+    out8 = call8(up, vp, ap, z, seed=5, guidance_scale=4.0,
+                 quant=live_dec_i8.unet_quant)
+    live8 = live_dec_i8.sample(z, (2, 8, 8, 4), steps=3, guidance_scale=4.0,
+                               rng=jax.random.PRNGKey(5))
+    np.testing.assert_allclose(
+        np.asarray(out8), np.asarray(jnp.clip(live8, -1, 1)), atol=1e-4)
+    # int8 actually changes the trajectory vs the bf16 artifact
+    assert not np.allclose(np.asarray(out8), np.asarray(out), atol=1e-3)
