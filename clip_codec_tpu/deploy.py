@@ -29,6 +29,13 @@ Design rules carried over from the rest of the framework:
 ``jax.export`` validates platform and input shapes/dtypes/tree structure at
 call time and raises with the exact mismatch. Artifacts lowered for several
 platforms (``platforms=("tpu", "cpu")``) run on any of them.
+
+Also here: the SD latent path (``export_sd_decompressor`` — CFG guidance
+rides as a traced scalar, so one artifact serves every guidance value),
+static-int8 variants of both (``quant=`` at export, calibration collection
+as a call-time argument), and a JSON metadata header
+(``read_artifact_meta``) recording the baked statics for serving layers.
+See docs/deployment.md.
 """
 
 from __future__ import annotations

@@ -63,6 +63,22 @@ def main(size=32, epochs=8):
     Image.fromarray(((recon + 1) * 127.5).astype(np.uint8)).save(out)
     print(f"saved {out}")
 
+    # AOT deployment: serialize the compiled decompress program and serve it
+    # without re-tracing the model (docs/deployment.md)
+    from clip_codec_tpu.deploy import export_decompressor, load_decompressor
+    from clip_codec_tpu.utils.checkpoint import load_params
+    from clip_codec_tpu.utils.config import ModelConfig
+
+    ckpt = store / "diffusion_unet_final.msgpack"
+    params = load_params(ckpt)
+    art = export_decompressor(params, ModelConfig.find_for_checkpoint(ckpt),
+                              tmp / "decoder.jaxprog", size=size, steps=20,
+                              batch_size=1)
+    dec = load_decompressor(art)
+    img2 = np.asarray(dec(params, codec.decode_embeddings([blob]), seed=0))[0]
+    print(f"AOT artifact {art.name}: {art.stat().st_size // 1024} KiB "
+          f"(weights stay arguments), serve output finite={np.isfinite(img2).all()}")
+
 
 if __name__ == "__main__":
     main()
