@@ -93,12 +93,15 @@ def main() -> None:
                            img_ch=mc.img_ch, dtype=jnp.bfloat16, int8=True)
         quant = calibrate_unet(net.apply, {"params": params}, args.size,
                                mc.z_dim, timesteps=mc.timesteps)
-        save_params(str(args.out) + ".quant.msgpack", quant)
     path = export_decompressor(
         params, mc, args.out, size=args.size, steps=args.steps,
         sampler=args.sampler, eta=args.eta, batch_size=args.batch_size,
         quant=quant, platforms=platforms,
     )
+    if quant is not None:
+        # only after the export succeeded — an orphan/stale sidecar next to a
+        # failed or old artifact would mis-calibrate a later serve
+        save_params(str(args.out) + ".quant.msgpack", quant)
     sidecar = f" + {path}.quant.msgpack" if args.int8 else ""
     print(f"Exported {path} ({path.stat().st_size / 1024:.1f} KiB, "
           f"sampler={args.sampler}, steps={args.steps}, size={args.size}, "
@@ -151,13 +154,15 @@ def _export_sd(args, platforms) -> None:
                             jnp.float32)
         dec.calibrate_int8_scales(z_cal, (batch, size // f, size // f, vae_cfg.latent_ch))
         quant = dec.unet_quant
-        save_params(str(args.out) + ".quant.msgpack", quant)
     path = export_sd_decompressor(
         unet_params, vae_params, adapter_params, args.out,
         unet_cfg=unet_cfg, vae_cfg=vae_cfg, clip_dim=args.z_dim,
         size=size, steps=steps, sampler=args.sampler, eta=args.eta,
         batch_size=batch, quant=quant, platforms=platforms,
     )
+    if quant is not None:
+        # only after the export succeeded (see main(): stale-sidecar hazard)
+        save_params(str(args.out) + ".quant.msgpack", quant)
     sidecar = f" + {path}.quant.msgpack" if args.int8 else ""
     print(f"Exported {path} ({path.stat().st_size / 1024:.1f} KiB, sd path, "
           f"sampler={args.sampler}, steps={steps}, size={size}, batch={batch}, "

@@ -147,7 +147,7 @@ class ClipCodec:
 
     def decompress(
         self, blobs: Sequence[bytes], size: int = 256, steps: int = 50, eta: float = 0.0,
-        batch_size: int = 16, sampler: str = "ddim",
+        batch_size: int = 16, sampler: str = "ddim", seed: Optional[int] = None,
     ) -> np.ndarray:
         """.clp frames -> (N, size, size, 3) float images in [-1, 1].
 
@@ -155,6 +155,10 @@ class ClipCodec:
         (DPM-Solver++(2M) — same quality at roughly half the steps, eta=0
         only; per-step cost is identical, so serving cost scales with
         ``steps``).
+
+        ``seed``: reproducible trajectories — the same seed resamples the
+        same images (matching the AOT artifact path's semantics). Default
+        keeps the codec's evolving internal rng: successive calls differ.
         """
         if self._model_fn is None:
             raise RuntimeError(
@@ -171,11 +175,15 @@ class ClipCodec:
         n = z.shape[0]
         from .utils.batching import pad_rows
 
+        rng = jax.random.PRNGKey(seed) if seed is not None else None
         for s in range(0, n, batch_size):
             zb = z[s : s + batch_size]
             k = zb.shape[0]
             zb = pad_rows(zb, batch_size)
-            self._rng, srng = jax.random.split(self._rng)
+            if rng is not None:
+                rng, srng = jax.random.split(rng)
+            else:
+                self._rng, srng = jax.random.split(self._rng)
             x = sampler.sample(model_fn, jnp.asarray(zb), (batch_size, size, size, 3),
                                steps=steps, rng=srng, model_params=model_params)
             outs.append(np.asarray(jnp.clip(x, -1, 1))[:k])

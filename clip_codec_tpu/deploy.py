@@ -89,6 +89,15 @@ def read_artifact_meta(path: PathLike) -> dict:
     return meta
 
 
+def _spec_tree(tree):
+    """ShapeDtypeStructs for a pytree WITHOUT touching the data — export uses
+    shapes only, and ``jnp.asarray`` would device-transfer multi-GB trees
+    through the tunnel just to read dtypes."""
+    return jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)), tree
+    )
+
+
 def _read_artifact(path: PathLike, expect_kind: str):
     meta = read_artifact_meta(path)
     if meta["kind"] != expect_kind:
@@ -108,6 +117,7 @@ def make_decompress_fn(
     sampler: str = "ddim",
     eta: float = 0.0,
     int8: bool = False,
+    x_sharding=None,
 ):
     """Build the pure serving function ``(params, z, seed) -> images``
     (int8 mode: ``(params, quant, z, seed) -> images``).
@@ -133,9 +143,23 @@ def make_decompress_fn(
 
     def sample(model_params, z, seed):
         rng = jax.random.PRNGKey(seed)
+        shape = (z.shape[0], size, size, mc.img_ch)
+        x_T = None
+        if x_sharding is not None:
+            # Materialize x_T with the target sharding so GSPMD propagates it
+            # through the whole scan (parallel/sample.py does the same with a
+            # device_put; inside a traced/exported program the constraint is
+            # the mechanism). x_T comes from split(rng)[1] — exactly the
+            # init_rng both samplers would derive internally — and rng itself
+            # is passed UNTOUCHED, so sharded and unsharded programs sample
+            # the identical trajectory from the same seed.
+            x_T = jax.lax.with_sharding_constraint(
+                jax.random.normal(jax.random.split(rng)[1], shape, jnp.float32),
+                x_sharding,
+            )
         x = smp.sample(
-            model_fn, z, (z.shape[0], size, size, mc.img_ch), steps=steps,
-            rng=rng, model_params=model_params,
+            model_fn, z, shape, steps=steps,
+            rng=rng, x_T=x_T, model_params=model_params,
         )
         return jnp.clip(x, -1.0, 1.0)
 
@@ -177,13 +201,11 @@ def export_decompressor(
         mc, size=size, steps=steps, sampler=sampler, eta=eta,
         int8=quant is not None,
     ))
-    spec = lambda tree: jax.tree.map(  # noqa: E731
-        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype), tree
-    )
     z_spec = jax.ShapeDtypeStruct((batch_size, mc.z_dim), jnp.float32)
     seed_spec = jax.ShapeDtypeStruct((), jnp.int32)
     kwargs = {} if platforms is None else {"platforms": list(platforms)}
-    args = (spec(params),) + ((spec(quant),) if quant is not None else ()) + (z_spec, seed_spec)
+    args = ((_spec_tree(params),) + ((_spec_tree(quant),) if quant is not None else ())
+            + (z_spec, seed_spec))
     exp = jax_export.export(run, **kwargs)(*args)
     meta = dict(size=size, steps=steps, sampler=sampler, eta=eta,
                 batch_size=batch_size, z_dim=mc.z_dim, img_ch=mc.img_ch,
@@ -202,6 +224,10 @@ def load_decompressor(path: PathLike):
     choices ride on ``call.meta``.
     """
     exp, meta = _read_artifact(path, "pixel")
+    if meta.get("sharded"):
+        raise ValueError(
+            f"{path}: sharded artifact (mesh {meta['mesh']}) — use "
+            f"load_sharded_decompressor(path, mesh)")
 
     if meta.get("int8"):
         def call(params, z, seed=0, quant=None):
@@ -217,6 +243,100 @@ def load_decompressor(path: PathLike):
 
     call.platforms = exp.platforms  # type: ignore[attr-defined]
     call.in_avals = exp.in_avals  # type: ignore[attr-defined]
+    call.meta = meta  # type: ignore[attr-defined]
+    return call
+
+
+# ---------------------------------------------------------------------------
+# Multi-chip serving: the DP (and optionally spatially) sharded decompress
+# program exported over a device mesh. The artifact bakes the mesh SHAPE
+# (data, model) and device count; the serving pod reconstructs an equivalent
+# mesh and calls through it — GSPMD collectives (halo exchanges for spatial
+# conv sharding, GroupNorm stats) ride inside the program.
+# ---------------------------------------------------------------------------
+
+
+def export_sharded_decompressor(
+    params,
+    mc: ModelConfig,
+    path: PathLike,
+    mesh,
+    *,
+    spatial: bool = False,
+    size: int = 256,
+    steps: int = 50,
+    sampler: str = "ddim",
+    eta: float = 0.0,
+    batch_size: int = 16,
+    platforms: Optional[Sequence[str]] = None,
+) -> Path:
+    """Export the decompress program sharded over ``mesh``.
+
+    Batch shards over the ``data`` axis (embarrassingly parallel — weights
+    replicated, no collectives); ``spatial=True`` additionally shards image
+    HEIGHT over the ``model`` axis (the high-res lever: activations scale as
+    B*H*W*C and GSPMD inserts conv halo exchanges automatically —
+    parallel/sample.py:52). Same seed ⇒ same images as the single-device
+    artifact.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    n_data = mesh.shape[DATA_AXIS]
+    n_model = mesh.shape.get(MODEL_AXIS, 1)
+    if batch_size % n_data:
+        raise ValueError(f"batch_size {batch_size} not divisible by data axis {n_data}")
+    if spatial and size % n_model:
+        raise ValueError(f"size {size} not divisible by model axis {n_model}")
+    x_sh = NamedSharding(
+        mesh, P(DATA_AXIS, MODEL_AXIS, None, None) if spatial else P(DATA_AXIS)
+    )
+    run = jax.jit(
+        make_decompress_fn(mc, size=size, steps=steps, sampler=sampler,
+                           eta=eta, x_sharding=x_sh),
+        in_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P(DATA_AXIS)),
+                      NamedSharding(mesh, P())),
+        out_shardings=x_sh,
+    )
+    z_spec = jax.ShapeDtypeStruct((batch_size, mc.z_dim), jnp.float32)
+    seed_spec = jax.ShapeDtypeStruct((), jnp.int32)
+    kwargs = {} if platforms is None else {"platforms": list(platforms)}
+    exp = jax_export.export(run, **kwargs)(_spec_tree(params), z_spec, seed_spec)
+    meta = dict(size=size, steps=steps, sampler=sampler, eta=eta,
+                batch_size=batch_size, z_dim=mc.z_dim, img_ch=mc.img_ch,
+                sharded=True, spatial=spatial,
+                mesh={"data": int(n_data), "model": int(n_model)})
+    return _write_artifact(path, "pixel", meta, exp)
+
+
+def load_sharded_decompressor(path: PathLike, mesh):
+    """Load a sharded artifact and bind it to an equivalent serving ``mesh``.
+
+    The mesh SHAPE must match the export-time one (``meta["mesh"]``); the
+    devices themselves are the serving pod's. Returns
+    ``call(params, z, seed=0) -> images`` with inputs placed per the baked
+    shardings (params replicated, z batch-sharded)."""
+    from .parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    exp, meta = _read_artifact(path, "pixel")
+    if not meta.get("sharded"):
+        raise ValueError(f"{path}: not a sharded artifact — use load_decompressor")
+    want = meta["mesh"]
+    have = {"data": mesh.shape.get(DATA_AXIS, 1), "model": mesh.shape.get(MODEL_AXIS, 1)}
+    if {k: int(v) for k, v in have.items()} != want:
+        raise ValueError(f"{path}: exported for mesh {want}, got {have}")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    z_sh = NamedSharding(mesh, P(DATA_AXIS))
+
+    def call(params, z, seed=0):
+        params = jax.device_put(params, jax.tree.map(lambda _: repl, params))
+        z = jax.device_put(jnp.asarray(z, jnp.float32), z_sh)
+        return exp.call(params, z, jnp.asarray(seed, jnp.int32))
+
+    call.platforms = exp.platforms  # type: ignore[attr-defined]
     call.meta = meta  # type: ignore[attr-defined]
     return call
 
@@ -347,15 +467,12 @@ def export_sd_decompressor(
         eta=eta, cfg_batched=cfg_batched, batch_size=batch_size,
         int8=quant is not None,
     ))
-    spec = lambda tree: jax.tree.map(  # noqa: E731
-        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype), tree
-    )
     z_spec = jax.ShapeDtypeStruct((batch_size, clip_dim), jnp.float32)
     seed_spec = jax.ShapeDtypeStruct((), jnp.int32)
     g_spec = jax.ShapeDtypeStruct((), jnp.float32)
     kwargs = {} if platforms is None else {"platforms": list(platforms)}
-    args = (spec(unet_params), spec(vae_params), spec(adapter_params))
-    args += ((spec(quant),) if quant is not None else ())
+    args = (_spec_tree(unet_params), _spec_tree(vae_params), _spec_tree(adapter_params))
+    args += ((_spec_tree(quant),) if quant is not None else ())
     exp = jax_export.export(run, **kwargs)(*args, z_spec, seed_spec, g_spec)
     meta = dict(size=size, steps=steps, sampler=sampler, eta=eta,
                 batch_size=batch_size, z_dim=clip_dim, n_tokens=n_tokens,
@@ -400,6 +517,7 @@ def load_sd_decompressor(path: PathLike):
 
 __all__ = [
     "make_decompress_fn", "export_decompressor", "load_decompressor",
+    "export_sharded_decompressor", "load_sharded_decompressor",
     "make_sd_decompress_fn", "export_sd_decompressor", "load_sd_decompressor",
     "read_artifact_meta",
 ]

@@ -9,8 +9,10 @@ Endpoints:
 * ``POST /compress``              -> body: one image file (PNG/JPEG bytes);
   response: one ``.clp`` frame (``application/octet-stream``).
   Requires CLIP weights.
-* ``POST /decompress?size=256&steps=50&sampler=ddim|dpmpp`` -> body: one ``.clp`` frame;
-  response: reconstructed PNG. Requires a trained decoder checkpoint.
+* ``POST /decompress?size=256&steps=50&sampler=ddim|dpmpp&seed=N`` -> body: one
+  ``.clp`` frame; response: reconstructed PNG (``seed`` reproduces the
+  trajectory; omitted = fresh sample per request). Requires a trained
+  decoder checkpoint.
 * ``POST /embed``                 -> body: one ``.clp`` frame; response:
   JSON ``{"embedding": [...]}`` (dequantized, L2-normalized).
 
@@ -107,9 +109,10 @@ def make_handler(codec: ClipCodec, artifact=None):
                         size = int(q.get("size", ["256"])[0])
                         steps = int(q.get("steps", ["50"])[0])
                         sampler = q.get("sampler", ["ddim"])[0]
+                        seed = (int(q["seed"][0]) if "seed" in q else None)
                         with lock:
                             img = codec.decompress([self._body()], size=size, steps=steps,
-                                                   batch_size=1, sampler=sampler)[0]
+                                                   batch_size=1, sampler=sampler, seed=seed)[0]
                     buf = io.BytesIO()
                     Image.fromarray(((np.clip(img, -1, 1) + 1.0) * 127.5).astype(np.uint8)).save(buf, format="PNG")
                     self._send(200, buf.getvalue(), "image/png")
@@ -143,20 +146,34 @@ def serve(store_dir: str, weights: Optional[str] = None, host: str = "127.0.0.1"
             raise ValueError(
                 f"serving artifacts must be exported with --batch_size 1 "
                 f"(got {call.meta['batch_size']}); requests carry one frame")
+        if call.meta["z_dim"] != codec.dim:
+            raise ValueError(
+                f"artifact was exported for z_dim={call.meta['z_dim']} but the "
+                f"store carries dim={codec.dim} embeddings; re-export against "
+                f"this store's checkpoint")
+        import jax
+
+        backend = jax.default_backend()
+        if backend not in call.platforms:
+            raise ValueError(
+                f"artifact was lowered for platforms {call.platforms} but this "
+                f"box runs {backend!r}; re-export with --platforms {backend}")
         quant = None
         if call.meta.get("int8"):
             from .utils.checkpoint import load_params
 
             sidecar = f"{artifact}.quant.msgpack"
             try:
-                quant = load_params(sidecar)
+                quant = jax.device_put(load_params(sidecar))
             except FileNotFoundError:
                 raise ValueError(
                     f"int8 artifact: calibration sidecar {sidecar} not found "
                     f"(cli.export_decoder --int8 writes it)") from None
         mc = ModelConfig.find_for_checkpoint(weights)
         ch_mult = mc.ch_mult if mc else (1, 2, 2)
-        art = (call, load_unet_checkpoint(weights, ch_mult), quant)
+        # device_put ONCE: host numpy params would re-upload the whole tree
+        # per request (inside the serialization lock) on remote transports
+        art = (call, jax.device_put(load_unet_checkpoint(weights, ch_mult)), quant)
     server = ThreadingHTTPServer((host, port), make_handler(codec, artifact=art))
     mode = f", artifact={artifact}" if artifact else ""
     print(f"[serve] codec (dim={codec.dim}{mode}) on http://{host}:{port}")

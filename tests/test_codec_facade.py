@@ -49,6 +49,17 @@ def test_facade_decompress(tmp_path, rng):
     with pytest.raises(ValueError, match="unknown sampler"):
         codec.decompress(blobs, size=16, steps=3, sampler="euler")
 
+    # seed= reproduces trajectories (matches the AOT artifact semantics);
+    # default internal rng evolves call to call
+    a = codec.decompress(blobs[:1], size=16, steps=3, batch_size=1, seed=11)
+    b = codec.decompress(blobs[:1], size=16, steps=3, batch_size=1, seed=11)
+    c = codec.decompress(blobs[:1], size=16, steps=3, batch_size=1, seed=12)
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
+    d1 = codec.decompress(blobs[:1], size=16, steps=3, batch_size=1)
+    d2 = codec.decompress(blobs[:1], size=16, steps=3, batch_size=1)
+    assert not np.array_equal(d1, d2)
+
 
 def test_facade_without_decoder(tmp_path, rng):
     from clip_codec_tpu.codecs.quantizer import fit_affine

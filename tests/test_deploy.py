@@ -106,6 +106,50 @@ def test_export_decoder_cli(tmp_path, tiny_params, rng, monkeypatch):
     assert img.shape == (1, 16, 16, 3) and bool(jnp.isfinite(img).all())
 
 
+def test_sharded_export_matches_single_device(tmp_path, tiny_params, rng):
+    """DP + spatial sharded artifacts sample the SAME images from the same
+    seed as the single-device artifact; mesh-shape mismatches fail fast."""
+    from clip_codec_tpu.deploy import (
+        export_sharded_decompressor, load_sharded_decompressor,
+    )
+    from clip_codec_tpu.parallel import make_mesh
+
+    z = jnp.asarray(rng.standard_normal((4, MC.z_dim)), jnp.float32)
+    single = export_decompressor(
+        tiny_params, MC, tmp_path / "dec1.jaxprog", size=16, steps=3, batch_size=4)
+    ref = load_decompressor(single)(tiny_params, z, seed=6)
+
+    mesh = make_mesh(4)  # data=4
+    art = export_sharded_decompressor(
+        tiny_params, MC, tmp_path / "dec_dp.jaxprog", mesh,
+        size=16, steps=3, batch_size=4)
+    call = load_sharded_decompressor(art, mesh)
+    assert call.meta["sharded"] and call.meta["mesh"] == {"data": 4, "model": 1}
+    out = call(tiny_params, z, seed=6)
+    # DP shards only the batch: per-sample math is untouched -> BITWISE
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    # spatial: height over the model axis on a (data=4, model=2) mesh.
+    # Partitioned convs/GN reduce in a different order, so a bf16 net drifts
+    # ~1 ulp per forward (measured 3.9e-3 after one step) and trajectories
+    # compound — compare ONE step at that measured scale, not the full run.
+    smesh = make_mesh(8, model_parallel=2)
+    sart = export_sharded_decompressor(
+        tiny_params, MC, tmp_path / "dec_sp.jaxprog", smesh, spatial=True,
+        size=16, steps=1, batch_size=4)
+    sout = load_sharded_decompressor(sart, smesh)(tiny_params, z, seed=6)
+    ref1 = make_decompress_fn(MC, size=16, steps=1)(tiny_params, z, jnp.int32(6))
+    np.testing.assert_allclose(np.asarray(sout), np.asarray(ref1), atol=2e-2)
+
+    # wrong mesh shape / wrong loader both fail with pointers
+    with pytest.raises(ValueError, match="exported for mesh"):
+        load_sharded_decompressor(sart, mesh)
+    with pytest.raises(ValueError, match="load_sharded_decompressor"):
+        load_decompressor(art)
+    with pytest.raises(ValueError, match="not a sharded artifact"):
+        load_sharded_decompressor(single, mesh)
+
+
 def test_loader_rejects_foreign_files(tmp_path):
     p = tmp_path / "junk.bin"
     p.write_bytes(b"\x00" * 64)
