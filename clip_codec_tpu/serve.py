@@ -25,14 +25,22 @@ program (``cli.export_decoder``) instead of tracing the model: no flax model
 construction or compile at startup, and the size/steps/sampler statics are
 validated against the artifact's metadata header (412 on mismatch — the
 program is compiled for exactly one configuration; re-export for another).
+A batch>1 artifact turns on micro-batching: concurrent requests are
+coalesced into one program call (gather window ``--batch_wait_ms``), so
+throughput under load follows the measured batch-scaling curve instead of
+paying a full program per request; ``seed`` is rejected in this mode (one
+program call has one seed).
 """
 
 from __future__ import annotations
 
 import argparse
 import io
+import itertools
 import json
+import queue
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 from urllib.parse import parse_qs, urlparse
@@ -43,10 +51,69 @@ from PIL import Image
 from .codec import ClipCodec
 
 
-def make_handler(codec: ClipCodec, artifact=None):
+class _MicroBatcher:
+    """Coalesce concurrent /decompress requests into ONE program call.
+
+    An artifact compiled for batch B costs the same per call whether 1 or B
+    rows are real (static shapes), so the server gathers up to B concurrent
+    requests inside a small window and pads the rest — latency for a lone
+    request is one batch-B call, throughput under load follows the measured
+    batch-scaling curve (B=16 is the 256px knee, docs/performance.md) instead
+    of B=1 per request. One worker thread owns the device; HTTP threads park
+    on per-request events.
+    """
+
+    def __init__(self, run_batch, batch_size: int, max_wait_ms: float = 5.0):
+        self._run = run_batch  # (z (B, D) float32, seed int) -> (B, H, W, C)
+        self.batch_size = batch_size
+        self._wait = max_wait_ms / 1000.0
+        self._q: queue.Queue = queue.Queue()
+        self._seeds = itertools.count()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, z_row: np.ndarray, timeout: float = 600.0) -> np.ndarray:
+        done = threading.Event()
+        slot: dict = {}
+        self._q.put((z_row, done, slot))
+        if not done.wait(timeout):
+            raise RuntimeError("batched decompress timed out")
+        if "err" in slot:
+            raise slot["err"]
+        return slot["img"]
+
+    def _loop(self) -> None:
+        while True:
+            batch = [self._q.get()]
+            deadline = time.monotonic() + self._wait
+            while len(batch) < self.batch_size:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=left))
+                except queue.Empty:
+                    break
+            zs = np.stack([b[0] for b in batch]).astype(np.float32)
+            if len(batch) < self.batch_size:  # pad with the last row
+                zs = np.concatenate(
+                    [zs, np.repeat(zs[-1:], self.batch_size - len(batch), axis=0)])
+            try:
+                imgs = self._run(zs, next(self._seeds))
+                for i, (_, done, slot) in enumerate(batch):
+                    slot["img"] = imgs[i]
+                    done.set()
+            except Exception as e:  # deliver the failure to every waiter
+                for _, done, slot in batch:
+                    slot["err"] = e
+                    done.set()
+
+
+def make_handler(codec: ClipCodec, artifact=None, batcher: Optional[_MicroBatcher] = None):
     """``artifact``: optional ``(call, params, quant)`` from an AOT-exported
     pixel decompressor — replaces the traced /decompress path (``quant`` is
-    the int8 calibration sidecar, None for bf16 artifacts)."""
+    the int8 calibration sidecar, None for bf16 artifacts). ``batcher``:
+    micro-batching worker for batch>1 artifacts."""
     lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
@@ -100,11 +167,23 @@ def make_handler(codec: ClipCodec, artifact=None):
                                 "artifact": {k: meta[k] for k in mismatches},
                             })
                             return
-                        z = codec.decode_embeddings([self._body()])
-                        seed = int(q.get("seed", ["0"])[0])
-                        kw = {} if quant is None else {"quant": quant}
-                        with lock:
-                            img = np.asarray(call(params, z, seed=seed, **kw))[0]
+                        if batcher is not None:
+                            if "seed" in q:
+                                self._json(400, {
+                                    "error": "seed is per-program: batched "
+                                             "serving (artifact batch_size > 1) "
+                                             "coalesces requests; export with "
+                                             "--batch_size 1 for seeded serving"})
+                                return
+                            with lock:
+                                z = codec.decode_embeddings([self._body()])[0]
+                            img = batcher.submit(z)
+                        else:
+                            z = codec.decode_embeddings([self._body()])
+                            seed = int(q.get("seed", ["0"])[0])
+                            kw = {} if quant is None else {"quant": quant}
+                            with lock:
+                                img = np.asarray(call(params, z, seed=seed, **kw))[0]
                     else:
                         size = int(q.get("size", ["256"])[0])
                         steps = int(q.get("steps", ["50"])[0])
@@ -130,9 +209,11 @@ def make_handler(codec: ClipCodec, artifact=None):
 
 
 def serve(store_dir: str, weights: Optional[str] = None, host: str = "127.0.0.1",
-          port: int = 8700, artifact: Optional[str] = None):
+          port: int = 8700, artifact: Optional[str] = None,
+          batch_wait_ms: float = 5.0):
     codec = ClipCodec.load(store_dir, weights=weights)
     art = None
+    batcher = None
     if artifact is not None:
         if weights is None:
             raise ValueError("--artifact serving still needs --weights (params "
@@ -142,10 +223,6 @@ def serve(store_dir: str, weights: Optional[str] = None, host: str = "127.0.0.1"
         from .utils.config import ModelConfig
 
         call = load_decompressor(artifact)
-        if call.meta["batch_size"] != 1:
-            raise ValueError(
-                f"serving artifacts must be exported with --batch_size 1 "
-                f"(got {call.meta['batch_size']}); requests carry one frame")
         if call.meta["z_dim"] != codec.dim:
             raise ValueError(
                 f"artifact was exported for z_dim={call.meta['z_dim']} but the "
@@ -174,8 +251,19 @@ def serve(store_dir: str, weights: Optional[str] = None, host: str = "127.0.0.1"
         # device_put ONCE: host numpy params would re-upload the whole tree
         # per request (inside the serialization lock) on remote transports
         art = (call, jax.device_put(load_unet_checkpoint(weights, ch_mult)), quant)
-    server = ThreadingHTTPServer((host, port), make_handler(codec, artifact=art))
+        if call.meta["batch_size"] > 1:
+            # batch>1 artifact: micro-batch concurrent requests into one call
+            c, p, qn = art
+            kw = {} if qn is None else {"quant": qn}
+            batcher = _MicroBatcher(
+                lambda zs, seed: np.asarray(c(p, zs, seed=seed, **kw)),
+                batch_size=call.meta["batch_size"], max_wait_ms=batch_wait_ms,
+            )
+    server = ThreadingHTTPServer(
+        (host, port), make_handler(codec, artifact=art, batcher=batcher))
     mode = f", artifact={artifact}" if artifact else ""
+    if batcher is not None:
+        mode += f", micro-batch={batcher.batch_size}"
     print(f"[serve] codec (dim={codec.dim}{mode}) on http://{host}:{port}")
     return server
 
@@ -189,13 +277,15 @@ def main() -> None:
     ap.add_argument("--artifact", type=str, default=None,
                     help="AOT-exported decoder.jaxprog (cli.export_decoder); "
                          "serves /decompress without tracing the model")
+    ap.add_argument("--batch_wait_ms", type=float, default=5.0,
+                    help="micro-batching gather window for batch>1 artifacts")
     from .cli._common import add_int8_flag, apply_int8_flag
 
     add_int8_flag(ap)
     args = ap.parse_args()
     apply_int8_flag(args)
     serve(args.store_dir, args.weights, args.host, args.port,
-          artifact=args.artifact).serve_forever()
+          artifact=args.artifact, batch_wait_ms=args.batch_wait_ms).serve_forever()
 
 
 if __name__ == "__main__":

@@ -173,12 +173,44 @@ def test_artifact_statics_mismatch_412(artifact_server):
     assert err["requested"] == {"steps": "50"} and err["artifact"] == {"steps": 3}
 
 
-def test_artifact_requires_batch1(artifact_server):
-    _, _, (store, ckpt, mc, tmp) = artifact_server
+def test_microbatched_artifact_serving(artifact_server):
+    """batch>1 artifact: concurrent requests coalesce into one program call;
+    lone requests are padded; ?seed= is rejected (one call, one seed)."""
+    _, q, (store, ckpt, mc, tmp) = artifact_server
     from clip_codec_tpu.deploy import export_decompressor
     from clip_codec_tpu.utils.checkpoint import load_params
 
     art = export_decompressor(load_params(ckpt), mc, tmp / "dec_b4.jaxprog",
                               size=16, steps=3, batch_size=4)
-    with pytest.raises(ValueError, match="batch_size 1"):
-        serve(str(store), weights=str(ckpt), port=0, artifact=str(art))
+    srv = serve(str(store), weights=str(ckpt), port=0, artifact=str(art),
+                batch_wait_ms=50.0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        addr = srv.server_address
+        blobs = [compress_frame(q[i].tobytes()) for i in range(4)]
+
+        # lone request: padded to the artifact batch, still one PNG back
+        status, ctype, data = _request(addr, "POST", "/decompress", blobs[0])
+        assert status == 200 and ctype == "image/png"
+        import io as _io
+
+        assert Image.open(_io.BytesIO(data)).size == (16, 16)
+
+        # concurrent requests share one call (distinct embeddings -> images)
+        results = [None] * 4
+        def hit(i):
+            results[i] = _request(addr, "POST", "/decompress", blobs[i])
+        threads = [threading.Thread(target=hit, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert all(r is not None and r[0] == 200 for r in results)
+        pngs = {r[2] for r in results}
+        assert len(pngs) == 4  # four different embeddings, four images
+
+        # seed is per-program: rejected in micro-batching mode
+        status, _, data = _request(addr, "POST", "/decompress?seed=7", blobs[0])
+        assert status == 400 and "seed is per-program" in json.loads(data)["error"]
+    finally:
+        srv.shutdown()
