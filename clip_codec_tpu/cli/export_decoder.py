@@ -51,6 +51,10 @@ def main() -> None:
     ap.add_argument("--int8", action="store_true",
                     help="static-int8 serving program; calibrates here and "
                          "writes <out>.quant.msgpack for serve boxes")
+    ap.add_argument("--output", type=str, default="float32",
+                    choices=("float32", "uint8"),
+                    help="pixel path: uint8 folds the PNG-prep conversion "
+                         "into the program (4x smaller device->host transfer)")
     args = ap.parse_args()
     apply_device_flag(args.device)
     platforms = args.platforms.split(",") if args.platforms else None
@@ -96,7 +100,7 @@ def main() -> None:
     path = export_decompressor(
         params, mc, args.out, size=args.size, steps=args.steps,
         sampler=args.sampler, eta=args.eta, batch_size=args.batch_size,
-        quant=quant, platforms=platforms,
+        quant=quant, output=args.output, platforms=platforms,
     )
     if quant is not None:
         # only after the export succeeded — an orphan/stale sidecar next to a

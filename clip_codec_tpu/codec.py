@@ -145,6 +145,21 @@ class ClipCodec:
         q = np.stack([decompress_frame(b) for b in blobs])
         return np.asarray(dequantize_l2norm(jnp.asarray(q), jnp.asarray(self.scale), jnp.asarray(self.zero)))
 
+    def decode_embeddings_host(self, blobs: Sequence[bytes]) -> np.ndarray:
+        """Pure-numpy :meth:`decode_embeddings` — the serving hot path.
+
+        Semantically identical fp32 math, but no device dispatch: over a
+        remote transport each tiny jitted call costs ~35 ms of tunnel latency
+        (CLAUDE.md), which staggered request arrivals past the micro-batcher's
+        gather window and collapsed serving batches to ~1 real row each
+        (measured: 1.13 img/s e2e vs 12.4 on-chip)."""
+        if len(blobs) == 0:
+            return np.zeros((0, self.dim), np.float32)
+        q = np.stack([decompress_frame(b) for b in blobs])
+        x = q.astype(np.float32) * np.asarray(self.scale) + np.asarray(self.zero)
+        n = np.linalg.norm(x, axis=-1, keepdims=True)
+        return x / np.maximum(n, 1e-9)
+
     def decompress(
         self, blobs: Sequence[bytes], size: int = 256, steps: int = 50, eta: float = 0.0,
         batch_size: int = 16, sampler: str = "ddim", seed: Optional[int] = None,

@@ -118,6 +118,7 @@ def make_decompress_fn(
     eta: float = 0.0,
     int8: bool = False,
     x_sharding=None,
+    output: str = "float32",
 ):
     """Build the pure serving function ``(params, z, seed) -> images``
     (int8 mode: ``(params, quant, z, seed) -> images``).
@@ -130,7 +131,15 @@ def make_decompress_fn(
     ``int8``: build the UNet in static-calibration int8 serving mode (the
     measured-best mode, +27% on the DDIM-50 headline); the calibrated
     ``'quant'`` collection rides as an extra argument.
+
+    ``output="uint8"``: fold the host's PNG-prep conversion
+    ``((clip(x)+1)*127.5).astype(uint8)`` into the program — pixel-identical
+    to converting on host (XLA's f32->u8 convert truncates like numpy), and
+    the device->host transfer shrinks 4x (measured 0.52 s/16-image batch of
+    256px fp32 over the remote tunnel).
     """
+    if output not in ("float32", "uint8"):
+        raise ValueError(f"output must be 'float32' or 'uint8', got {output!r}")
     net = CLIPCondUNet(
         z_dim=mc.z_dim, base=mc.base, ch_mult=mc.ch_mult, img_ch=mc.img_ch,
         dtype=jnp.bfloat16, int8=True if int8 else None,
@@ -161,7 +170,10 @@ def make_decompress_fn(
             model_fn, z, shape, steps=steps,
             rng=rng, x_T=x_T, model_params=model_params,
         )
-        return jnp.clip(x, -1.0, 1.0)
+        x = jnp.clip(x, -1.0, 1.0)
+        if output == "uint8":
+            x = ((x + 1.0) * 127.5).astype(jnp.uint8)
+        return x
 
     if int8:
         def run(params, quant, z, seed):
@@ -184,6 +196,7 @@ def export_decompressor(
     eta: float = 0.0,
     batch_size: int = 16,
     quant=None,
+    output: str = "float32",
     platforms: Optional[Sequence[str]] = None,
 ) -> Path:
     """Trace + lower the full decompress program and serialize it to ``path``.
@@ -199,7 +212,7 @@ def export_decompressor(
     """
     run = jax.jit(make_decompress_fn(
         mc, size=size, steps=steps, sampler=sampler, eta=eta,
-        int8=quant is not None,
+        int8=quant is not None, output=output,
     ))
     z_spec = jax.ShapeDtypeStruct((batch_size, mc.z_dim), jnp.float32)
     seed_spec = jax.ShapeDtypeStruct((), jnp.int32)
@@ -209,7 +222,7 @@ def export_decompressor(
     exp = jax_export.export(run, **kwargs)(*args)
     meta = dict(size=size, steps=steps, sampler=sampler, eta=eta,
                 batch_size=batch_size, z_dim=mc.z_dim, img_ch=mc.img_ch,
-                int8=quant is not None)
+                int8=quant is not None, output=output)
     return _write_artifact(path, "pixel", meta, exp)
 
 

@@ -51,6 +51,15 @@ from PIL import Image
 from .codec import ClipCodec
 
 
+class _Server(ThreadingHTTPServer):
+    """ThreadingHTTPServer with a real accept backlog: the TCPServer default
+    (request_queue_size=5) resets connections when more than a handful of
+    clients connect at once — exactly the burst micro-batching invites."""
+
+    request_queue_size = 128
+    daemon_threads = True
+
+
 class _MicroBatcher:
     """Coalesce concurrent /decompress requests into ONE program call.
 
@@ -167,6 +176,8 @@ def make_handler(codec: ClipCodec, artifact=None, batcher: Optional[_MicroBatche
                                 "artifact": {k: meta[k] for k in mismatches},
                             })
                             return
+                        # host-side frame decode: a device round-trip here
+                        # staggers arrivals past the micro-batch gather window
                         if batcher is not None:
                             if "seed" in q:
                                 self._json(400, {
@@ -175,11 +186,10 @@ def make_handler(codec: ClipCodec, artifact=None, batcher: Optional[_MicroBatche
                                              "coalesces requests; export with "
                                              "--batch_size 1 for seeded serving"})
                                 return
-                            with lock:
-                                z = codec.decode_embeddings([self._body()])[0]
+                            z = codec.decode_embeddings_host([self._body()])[0]
                             img = batcher.submit(z)
                         else:
-                            z = codec.decode_embeddings([self._body()])
+                            z = codec.decode_embeddings_host([self._body()])
                             seed = int(q.get("seed", ["0"])[0])
                             kw = {} if quant is None else {"quant": quant}
                             with lock:
@@ -192,9 +202,24 @@ def make_handler(codec: ClipCodec, artifact=None, batcher: Optional[_MicroBatche
                         with lock:
                             img = codec.decompress([self._body()], size=size, steps=steps,
                                                    batch_size=1, sampler=sampler, seed=seed)[0]
+                    fmt = q.get("format", ["png"])[0].lower()
+                    if fmt not in ("png", "jpeg", "jpg"):
+                        self._json(400, {"error": f"unknown format {fmt!r}; png or jpeg"})
+                        return
                     buf = io.BytesIO()
-                    Image.fromarray(((np.clip(img, -1, 1) + 1.0) * 127.5).astype(np.uint8)).save(buf, format="PNG")
-                    self._send(200, buf.getvalue(), "image/png")
+                    if img.dtype == np.uint8:  # output="uint8" artifact
+                        arr = img
+                    else:
+                        arr = ((np.clip(img, -1, 1) + 1.0) * 127.5).astype(np.uint8)
+                    pil = Image.fromarray(arr)
+                    if fmt == "png":
+                        pil.save(buf, format="PNG")
+                        self._send(200, buf.getvalue(), "image/png")
+                    else:
+                        # measured 6x cheaper to encode than PNG on this class
+                        # of image — the right default for throughput serving
+                        pil.save(buf, format="JPEG", quality=92)
+                        self._send(200, buf.getvalue(), "image/jpeg")
                 else:
                     self._json(404, {"error": "unknown endpoint"})
             except RuntimeError as e:  # weight-gated paths
@@ -251,15 +276,17 @@ def serve(store_dir: str, weights: Optional[str] = None, host: str = "127.0.0.1"
         # device_put ONCE: host numpy params would re-upload the whole tree
         # per request (inside the serialization lock) on remote transports
         art = (call, jax.device_put(load_unet_checkpoint(weights, ch_mult)), quant)
+        c, p, qn = art
+        kw = {} if qn is None else {"quant": qn}
+        run = lambda zs, seed: np.asarray(c(p, zs, seed=seed, **kw))  # noqa: E731
+        # warm at startup: the first program call compiles (~13 s at flagship
+        # scale over a remote transport) — pay it before accepting traffic
+        run(np.zeros((call.meta["batch_size"], codec.dim), np.float32), 0)
         if call.meta["batch_size"] > 1:
             # batch>1 artifact: micro-batch concurrent requests into one call
-            c, p, qn = art
-            kw = {} if qn is None else {"quant": qn}
-            batcher = _MicroBatcher(
-                lambda zs, seed: np.asarray(c(p, zs, seed=seed, **kw)),
-                batch_size=call.meta["batch_size"], max_wait_ms=batch_wait_ms,
-            )
-    server = ThreadingHTTPServer(
+            batcher = _MicroBatcher(run, batch_size=call.meta["batch_size"],
+                                    max_wait_ms=batch_wait_ms)
+    server = _Server(
         (host, port), make_handler(codec, artifact=art, batcher=batcher))
     mode = f", artifact={artifact}" if artifact else ""
     if batcher is not None:

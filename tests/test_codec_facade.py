@@ -60,6 +60,11 @@ def test_facade_decompress(tmp_path, rng):
     d2 = codec.decompress(blobs[:1], size=16, steps=3, batch_size=1)
     assert not np.array_equal(d1, d2)
 
+    # the numpy serving hot path decodes identically to the jitted path
+    np.testing.assert_allclose(
+        codec.decode_embeddings_host(blobs), codec.decode_embeddings(blobs),
+        rtol=1e-6, atol=1e-7)
+
 
 def test_facade_without_decoder(tmp_path, rng):
     from clip_codec_tpu.codecs.quantizer import fit_affine

@@ -106,6 +106,23 @@ def test_export_decoder_cli(tmp_path, tiny_params, rng, monkeypatch):
     assert img.shape == (1, 16, 16, 3) and bool(jnp.isfinite(img).all())
 
 
+def test_uint8_output_artifact(tmp_path, tiny_params, rng):
+    """output='uint8' folds the PNG-prep conversion into the program —
+    pixel-identical to converting the float32 artifact's output on host."""
+    z = jnp.asarray(rng.standard_normal((2, MC.z_dim)), jnp.float32)
+    f32 = export_decompressor(
+        tiny_params, MC, tmp_path / "f32.jaxprog", size=16, steps=3, batch_size=2)
+    u8 = export_decompressor(
+        tiny_params, MC, tmp_path / "u8.jaxprog", size=16, steps=3, batch_size=2,
+        output="uint8")
+    ref = np.asarray(load_decompressor(f32)(tiny_params, z, seed=4))
+    out = np.asarray(load_decompressor(u8)(tiny_params, z, seed=4))
+    assert out.dtype == np.uint8
+    host = ((np.clip(ref, -1, 1) + 1.0) * 127.5).astype(np.uint8)
+    np.testing.assert_array_equal(out, host)
+    assert load_decompressor(u8).meta["output"] == "uint8"
+
+
 def test_sharded_export_matches_single_device(tmp_path, tiny_params, rng):
     """DP + spatial sharded artifacts sample the SAME images from the same
     seed as the single-device artifact; mesh-shape mismatches fail fast."""
