@@ -15,6 +15,9 @@ Endpoints:
   decoder checkpoint.
 * ``POST /embed``                 -> body: one ``.clp`` frame; response:
   JSON ``{"embedding": [...]}`` (dequantized, L2-normalized).
+* ``POST /decompress_sd?guidance=5.0&seed=N&format=png|jpeg`` -> body: one
+  ``.clp`` frame; reconstructs via the SD latent path. Requires
+  ``--sd_artifact`` + ``--adapter`` (and the SD weight env vars).
 
 Run: ``python -m clip_codec_tpu.serve --store_dir store [--port 8700]``.
 Requests are serialized through one lock — a single accelerator executes one
@@ -118,11 +121,14 @@ class _MicroBatcher:
                     done.set()
 
 
-def make_handler(codec: ClipCodec, artifact=None, batcher: Optional[_MicroBatcher] = None):
+def make_handler(codec: ClipCodec, artifact=None, batcher: Optional[_MicroBatcher] = None,
+                 sd=None):
     """``artifact``: optional ``(call, params, quant)`` from an AOT-exported
     pixel decompressor — replaces the traced /decompress path (``quant`` is
     the int8 calibration sidecar, None for bf16 artifacts). ``batcher``:
-    micro-batching worker for batch>1 artifacts."""
+    micro-batching worker for batch>1 artifacts. ``sd``: optional
+    ``(call, unet_params, vae_params, adapter_params, quant)`` SD artifact
+    backing /decompress_sd."""
     lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
@@ -139,6 +145,24 @@ def make_handler(codec: ClipCodec, artifact=None, batcher: Optional[_MicroBatche
         def _body(self) -> bytes:
             n = int(self.headers.get("Content-Length", 0))
             return self.rfile.read(n)
+
+        def _send_image(self, img: np.ndarray, q) -> None:
+            fmt = q.get("format", ["png"])[0].lower()
+            if fmt not in ("png", "jpeg", "jpg"):
+                self._json(400, {"error": f"unknown format {fmt!r}; png or jpeg"})
+                return
+            if img.dtype == np.uint8:  # output="uint8" artifact
+                arr = img
+            else:
+                arr = ((np.clip(img, -1, 1) + 1.0) * 127.5).astype(np.uint8)
+            buf = io.BytesIO()
+            if fmt == "png":
+                Image.fromarray(arr).save(buf, format="PNG")
+                self._send(200, buf.getvalue(), "image/png")
+            else:
+                # measured 6x cheaper to encode than PNG on this image class
+                Image.fromarray(arr).save(buf, format="JPEG", quality=92)
+                self._send(200, buf.getvalue(), "image/jpeg")
 
         def do_GET(self):
             if urlparse(self.path).path == "/healthz":
@@ -202,24 +226,21 @@ def make_handler(codec: ClipCodec, artifact=None, batcher: Optional[_MicroBatche
                         with lock:
                             img = codec.decompress([self._body()], size=size, steps=steps,
                                                    batch_size=1, sampler=sampler, seed=seed)[0]
-                    fmt = q.get("format", ["png"])[0].lower()
-                    if fmt not in ("png", "jpeg", "jpg"):
-                        self._json(400, {"error": f"unknown format {fmt!r}; png or jpeg"})
+                    self._send_image(img, q)
+                elif url.path == "/decompress_sd":
+                    if sd is None:
+                        self._json(503, {"error": "no SD artifact loaded; start "
+                                                  "with --sd_artifact + --adapter"})
                         return
-                    buf = io.BytesIO()
-                    if img.dtype == np.uint8:  # output="uint8" artifact
-                        arr = img
-                    else:
-                        arr = ((np.clip(img, -1, 1) + 1.0) * 127.5).astype(np.uint8)
-                    pil = Image.fromarray(arr)
-                    if fmt == "png":
-                        pil.save(buf, format="PNG")
-                        self._send(200, buf.getvalue(), "image/png")
-                    else:
-                        # measured 6x cheaper to encode than PNG on this class
-                        # of image — the right default for throughput serving
-                        pil.save(buf, format="JPEG", quality=92)
-                        self._send(200, buf.getvalue(), "image/jpeg")
+                    sd_call, up, vp, ap_, sd_quant = sd
+                    z = codec.decode_embeddings_host([self._body()])
+                    seed = int(q.get("seed", ["0"])[0])
+                    guidance = float(q.get("guidance", ["5.0"])[0])
+                    kw = {} if sd_quant is None else {"quant": sd_quant}
+                    with lock:
+                        img = np.asarray(sd_call(up, vp, ap_, z, seed=seed,
+                                                 guidance_scale=guidance, **kw))[0]
+                    self._send_image(img, q)
                 else:
                     self._json(404, {"error": "unknown endpoint"})
             except RuntimeError as e:  # weight-gated paths
@@ -235,10 +256,12 @@ def make_handler(codec: ClipCodec, artifact=None, batcher: Optional[_MicroBatche
 
 def serve(store_dir: str, weights: Optional[str] = None, host: str = "127.0.0.1",
           port: int = 8700, artifact: Optional[str] = None,
-          batch_wait_ms: float = 5.0):
+          batch_wait_ms: float = 5.0, sd_artifact: Optional[str] = None,
+          adapter: Optional[str] = None):
     codec = ClipCodec.load(store_dir, weights=weights)
     art = None
     batcher = None
+    sd = _load_sd_serving(sd_artifact, adapter, codec) if sd_artifact else None
     if artifact is not None:
         if weights is None:
             raise ValueError("--artifact serving still needs --weights (params "
@@ -287,12 +310,74 @@ def serve(store_dir: str, weights: Optional[str] = None, host: str = "127.0.0.1"
             batcher = _MicroBatcher(run, batch_size=call.meta["batch_size"],
                                     max_wait_ms=batch_wait_ms)
     server = _Server(
-        (host, port), make_handler(codec, artifact=art, batcher=batcher))
+        (host, port), make_handler(codec, artifact=art, batcher=batcher, sd=sd))
     mode = f", artifact={artifact}" if artifact else ""
     if batcher is not None:
         mode += f", micro-batch={batcher.batch_size}"
+    if sd is not None:
+        mode += f", sd_artifact={sd_artifact}"
     print(f"[serve] codec (dim={codec.dim}{mode}) on http://{host}:{port}")
     return server
+
+
+def _load_sd_serving(sd_artifact: str, adapter: Optional[str], codec: ClipCodec):
+    """Load + validate + warm the SD artifact backing /decompress_sd.
+
+    Frozen UNet/VAE come from $CLIP_CODEC_SD_UNET_WEIGHTS /
+    $CLIP_CODEC_SD_VAE_WEIGHTS (torch or converted msgpack), the trained
+    adapter from ``adapter``; all three ride as call-time arguments."""
+    import os
+
+    import jax
+
+    from .cli.reconstruct_sd_diffusion import load_adapter_params
+    from .deploy import load_sd_decompressor
+
+    if adapter is None:
+        raise ValueError("--sd_artifact needs --adapter <trained adapter checkpoint>")
+    unet_path = os.environ.get("CLIP_CODEC_SD_UNET_WEIGHTS")
+    vae_path = os.environ.get("CLIP_CODEC_SD_VAE_WEIGHTS")
+    if not unet_path or not vae_path:
+        raise RuntimeError(
+            "SD weights not configured. Convert diffusers SD-1.5 UNet/VAE checkpoints and set "
+            "CLIP_CODEC_SD_UNET_WEIGHTS and CLIP_CODEC_SD_VAE_WEIGHTS.")
+    from pathlib import Path
+
+    from .weights.convert_sd import load_sd_params
+
+    call = load_sd_decompressor(sd_artifact)
+    if call.meta["batch_size"] != 1:
+        raise ValueError(
+            f"SD serving artifacts must be exported with --batch_size 1 (got "
+            f"{call.meta['batch_size']}): guidance_scale is per program call, "
+            f"so requests cannot be coalesced")
+    if call.meta["z_dim"] != codec.dim:
+        raise ValueError(
+            f"SD artifact exported for z_dim={call.meta['z_dim']} but the store "
+            f"carries dim={codec.dim} embeddings")
+    backend = jax.default_backend()
+    if backend not in call.platforms:
+        raise ValueError(
+            f"SD artifact lowered for {call.platforms} but this box runs "
+            f"{backend!r}; re-export with --platforms {backend}")
+    quant = None
+    if call.meta.get("int8"):
+        from .utils.checkpoint import load_params
+
+        sidecar = f"{sd_artifact}.quant.msgpack"
+        try:
+            quant = jax.device_put(load_params(sidecar))
+        except FileNotFoundError:
+            raise ValueError(
+                f"int8 SD artifact: calibration sidecar {sidecar} not found") from None
+    up, vp = load_sd_params(unet_path, vae_path)
+    up, vp = jax.device_put(up), jax.device_put(vp)
+    ap_ = jax.device_put(load_adapter_params(Path(adapter)))
+    kw = {} if quant is None else {"quant": quant}
+    # warm before accepting traffic (first call compiles)
+    np.asarray(call(up, vp, ap_, np.zeros((1, codec.dim), np.float32),
+                    seed=0, guidance_scale=5.0, **kw))
+    return (call, up, vp, ap_, quant)
 
 
 def main() -> None:
@@ -306,13 +391,19 @@ def main() -> None:
                          "serves /decompress without tracing the model")
     ap.add_argument("--batch_wait_ms", type=float, default=5.0,
                     help="micro-batching gather window for batch>1 artifacts")
+    ap.add_argument("--sd_artifact", type=str, default=None,
+                    help="AOT-exported SD program (cli.export_decoder --sd); "
+                         "serves /decompress_sd (SD weights via env vars)")
+    ap.add_argument("--adapter", type=str, default=None,
+                    help="trained SD adapter checkpoint (with --sd_artifact)")
     from .cli._common import add_int8_flag, apply_int8_flag
 
     add_int8_flag(ap)
     args = ap.parse_args()
     apply_int8_flag(args)
     serve(args.store_dir, args.weights, args.host, args.port,
-          artifact=args.artifact, batch_wait_ms=args.batch_wait_ms).serve_forever()
+          artifact=args.artifact, batch_wait_ms=args.batch_wait_ms,
+          sd_artifact=args.sd_artifact, adapter=args.adapter).serve_forever()
 
 
 if __name__ == "__main__":

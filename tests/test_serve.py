@@ -149,6 +149,70 @@ def artifact_server(tmp_path_factory):
     srv.shutdown()
 
 
+def test_sd_artifact_serving(tmp_path_factory, monkeypatch):
+    """/decompress_sd: tiny SD artifact + msgpack env weights + adapter,
+    driven over a real socket; guidance is a live per-request knob."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_codec_tpu.deploy import export_sd_decompressor
+    from clip_codec_tpu.models.sd import (
+        AutoencoderKL, SDClipAdapter, SDUNet, SDUNetConfig, VAEConfig,
+    )
+    from clip_codec_tpu.utils.checkpoint import save_params
+
+    tmp = tmp_path_factory.mktemp("serve_sd")
+    store, q, _ = _tiny_trained_store(tmp)  # 16-dim embeddings
+
+    ucfg = SDUNetConfig(block_out=(8, 16), layers_per_block=1, cross_dim=16,
+                        heads=2, freq_dim=8)
+    vcfg = VAEConfig(block_out=(8, 16), layers_per_block=1, latent_ch=4)
+    k = jax.random.PRNGKey(0)
+    up = SDUNet(ucfg).init(k, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,), jnp.int32),
+                           jnp.zeros((1, 2, 16)))["params"]
+    vp = AutoencoderKL(vcfg).init(k, jnp.zeros((1, 16, 16, 3)),
+                                  jax.random.PRNGKey(1))["params"]
+    ap = SDClipAdapter(in_dim=16, ctx_dim=16, n_tokens=2).init(
+        k, jnp.zeros((1, 16)))["params"]
+    monkeypatch.setenv("CLIP_CODEC_SD_UNET_WEIGHTS",
+                       str(save_params(tmp / "sd_unet.msgpack", up)))
+    monkeypatch.setenv("CLIP_CODEC_SD_VAE_WEIGHTS",
+                       str(save_params(tmp / "sd_vae.msgpack", vp)))
+    adapter = save_params(tmp / "adapter.msgpack", ap)
+    art = export_sd_decompressor(up, vp, ap, tmp / "sd.jaxprog",
+                                 unet_cfg=ucfg, vae_cfg=vcfg, size=16,
+                                 steps=3, batch_size=1)
+
+    srv = serve(str(store), port=0, sd_artifact=str(art), adapter=str(adapter))
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        addr = srv.server_address
+        blob = compress_frame(q[0].tobytes())
+        status, ctype, data = _request(addr, "POST", "/decompress_sd?seed=4", blob)
+        assert status == 200 and ctype == "image/png"
+        import io as _io
+
+        assert Image.open(_io.BytesIO(data)).size == (16, 16)
+        # guidance is traced: one artifact serves every value, images differ
+        d0 = _request(addr, "POST", "/decompress_sd?seed=4&guidance=0", blob)[2]
+        assert d0 != data
+        # reproducible per seed
+        assert _request(addr, "POST", "/decompress_sd?seed=4", blob)[2] == data
+        # /decompress (pixel) is independent and 503s cleanly without weights
+        st, _, d = _request(addr, "POST", "/decompress_sd", b"garbage")
+        assert st == 400
+    finally:
+        srv.shutdown()
+
+
+def test_sd_endpoint_503_when_unconfigured(server):
+    addr, q = server
+    blob = compress_frame(q[0].tobytes())
+    status, _, data = _request(addr, "POST", "/decompress_sd", blob)
+    assert status == 503
+    assert "sd_artifact" in json.loads(data)["error"]
+
+
 def test_artifact_decompress(artifact_server):
     addr, q, _ = artifact_server
     blob = compress_frame(q[2].tobytes())
