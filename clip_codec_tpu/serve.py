@@ -146,11 +146,35 @@ def make_handler(codec: ClipCodec, artifact=None, batcher: Optional[_MicroBatche
             n = int(self.headers.get("Content-Length", 0))
             return self.rfile.read(n)
 
-        def _send_image(self, img: np.ndarray, q) -> None:
+        def _check_format(self, q) -> bool:
+            """Validate ?format= BEFORE any compute — a bad value must not
+            cost a full diffusion run under the lock."""
             fmt = q.get("format", ["png"])[0].lower()
             if fmt not in ("png", "jpeg", "jpg"):
                 self._json(400, {"error": f"unknown format {fmt!r}; png or jpeg"})
-                return
+                return False
+            return True
+
+        def _check_statics(self, q, meta) -> bool:
+            """412 when query params conflict with the artifact's baked
+            statics — the program is compiled for exactly one configuration."""
+            mismatches = {
+                k: (q[k][0], meta[k]) for k, cast in
+                (("size", int), ("steps", int), ("sampler", str))
+                if k in q and cast(q[k][0]) != meta[k]
+            }
+            if mismatches:
+                self._json(412, {
+                    "error": "artifact statics mismatch; re-export with "
+                             "cli.export_decoder",
+                    "requested": {k: v[0] for k, v in mismatches.items()},
+                    "artifact": {k: meta[k] for k in mismatches},
+                })
+                return False
+            return True
+
+        def _send_image(self, img: np.ndarray, q) -> None:
+            fmt = q.get("format", ["png"])[0].lower()
             if img.dtype == np.uint8:  # output="uint8" artifact
                 arr = img
             else:
@@ -184,21 +208,11 @@ def make_handler(codec: ClipCodec, artifact=None, batcher: Optional[_MicroBatche
                         z = codec.decode_embeddings([self._body()])[0]
                     self._json(200, {"embedding": [float(v) for v in z]})
                 elif url.path == "/decompress":
+                    if not self._check_format(q):
+                        return
                     if artifact is not None:
                         call, params, quant = artifact
-                        meta = call.meta
-                        mismatches = {
-                            k: (q[k][0], meta[k]) for k, cast in
-                            (("size", int), ("steps", int), ("sampler", str))
-                            if k in q and cast(q[k][0]) != meta[k]
-                        }
-                        if mismatches:
-                            self._json(412, {
-                                "error": "artifact statics mismatch; re-export "
-                                         "with cli.export_decoder",
-                                "requested": {k: v[0] for k, v in mismatches.items()},
-                                "artifact": {k: meta[k] for k in mismatches},
-                            })
+                        if not self._check_statics(q, call.meta):
                             return
                         # host-side frame decode: a device round-trip here
                         # staggers arrivals past the micro-batch gather window
@@ -233,6 +247,8 @@ def make_handler(codec: ClipCodec, artifact=None, batcher: Optional[_MicroBatche
                                                   "with --sd_artifact + --adapter"})
                         return
                     sd_call, up, vp, ap_, sd_quant = sd
+                    if not self._check_format(q) or not self._check_statics(q, sd_call.meta):
+                        return
                     z = codec.decode_embeddings_host([self._body()])
                     seed = int(q.get("seed", ["0"])[0])
                     guidance = float(q.get("guidance", ["5.0"])[0])
@@ -261,39 +277,21 @@ def serve(store_dir: str, weights: Optional[str] = None, host: str = "127.0.0.1"
     codec = ClipCodec.load(store_dir, weights=weights)
     art = None
     batcher = None
+    if adapter is not None and sd_artifact is None:
+        raise ValueError("--adapter only makes sense with --sd_artifact")
     sd = _load_sd_serving(sd_artifact, adapter, codec) if sd_artifact else None
     if artifact is not None:
         if weights is None:
             raise ValueError("--artifact serving still needs --weights (params "
                              "are call-time arguments, not baked into artifacts)")
+        import jax
+
         from .deploy import load_decompressor
         from .utils.checkpoint import load_unet_checkpoint
         from .utils.config import ModelConfig
 
         call = load_decompressor(artifact)
-        if call.meta["z_dim"] != codec.dim:
-            raise ValueError(
-                f"artifact was exported for z_dim={call.meta['z_dim']} but the "
-                f"store carries dim={codec.dim} embeddings; re-export against "
-                f"this store's checkpoint")
-        import jax
-
-        backend = jax.default_backend()
-        if backend not in call.platforms:
-            raise ValueError(
-                f"artifact was lowered for platforms {call.platforms} but this "
-                f"box runs {backend!r}; re-export with --platforms {backend}")
-        quant = None
-        if call.meta.get("int8"):
-            from .utils.checkpoint import load_params
-
-            sidecar = f"{artifact}.quant.msgpack"
-            try:
-                quant = jax.device_put(load_params(sidecar))
-            except FileNotFoundError:
-                raise ValueError(
-                    f"int8 artifact: calibration sidecar {sidecar} not found "
-                    f"(cli.export_decoder --int8 writes it)") from None
+        quant = _validate_artifact(call, codec, artifact)
         mc = ModelConfig.find_for_checkpoint(weights)
         ch_mult = mc.ch_mult if mc else (1, 2, 2)
         # device_put ONCE: host numpy params would re-upload the whole tree
@@ -318,6 +316,35 @@ def serve(store_dir: str, weights: Optional[str] = None, host: str = "127.0.0.1"
         mode += f", sd_artifact={sd_artifact}"
     print(f"[serve] codec (dim={codec.dim}{mode}) on http://{host}:{port}")
     return server
+
+
+def _validate_artifact(call, codec: ClipCodec, artifact_path: str):
+    """Fail-fast startup checks shared by the pixel and SD artifact paths:
+    embedding dim, lowering platform, and (for int8 artifacts) the
+    calibration sidecar. Returns the device_put quant tree or None."""
+    import jax
+
+    if call.meta["z_dim"] != codec.dim:
+        raise ValueError(
+            f"{artifact_path}: exported for z_dim={call.meta['z_dim']} but the "
+            f"store carries dim={codec.dim} embeddings; re-export against "
+            f"this store's checkpoint")
+    backend = jax.default_backend()
+    if backend not in call.platforms:
+        raise ValueError(
+            f"{artifact_path}: lowered for platforms {call.platforms} but this "
+            f"box runs {backend!r}; re-export with --platforms {backend}")
+    if not call.meta.get("int8"):
+        return None
+    from .utils.checkpoint import load_params
+
+    sidecar = f"{artifact_path}.quant.msgpack"
+    try:
+        return jax.device_put(load_params(sidecar))
+    except FileNotFoundError:
+        raise ValueError(
+            f"int8 artifact: calibration sidecar {sidecar} not found "
+            f"(cli.export_decoder --int8 writes it)") from None
 
 
 def _load_sd_serving(sd_artifact: str, adapter: Optional[str], codec: ClipCodec):
@@ -351,25 +378,7 @@ def _load_sd_serving(sd_artifact: str, adapter: Optional[str], codec: ClipCodec)
             f"SD serving artifacts must be exported with --batch_size 1 (got "
             f"{call.meta['batch_size']}): guidance_scale is per program call, "
             f"so requests cannot be coalesced")
-    if call.meta["z_dim"] != codec.dim:
-        raise ValueError(
-            f"SD artifact exported for z_dim={call.meta['z_dim']} but the store "
-            f"carries dim={codec.dim} embeddings")
-    backend = jax.default_backend()
-    if backend not in call.platforms:
-        raise ValueError(
-            f"SD artifact lowered for {call.platforms} but this box runs "
-            f"{backend!r}; re-export with --platforms {backend}")
-    quant = None
-    if call.meta.get("int8"):
-        from .utils.checkpoint import load_params
-
-        sidecar = f"{sd_artifact}.quant.msgpack"
-        try:
-            quant = jax.device_put(load_params(sidecar))
-        except FileNotFoundError:
-            raise ValueError(
-                f"int8 SD artifact: calibration sidecar {sidecar} not found") from None
+    quant = _validate_artifact(call, codec, sd_artifact)
     up, vp = load_sd_params(unet_path, vae_path)
     up, vp = jax.device_put(up), jax.device_put(vp)
     ap_ = jax.device_put(load_adapter_params(Path(adapter)))
