@@ -501,6 +501,10 @@ def load_sd_decompressor(path: PathLike):
     (``call.meta["int8"]``) additionally require ``quant=``; export-time
     statics on ``call.meta``."""
     exp, meta = _read_artifact(path, "sd")
+    if meta.get("sharded"):
+        raise ValueError(
+            f"{path}: sharded artifact (mesh {meta['mesh']}) — use "
+            f"load_sharded_sd_decompressor(path, mesh)")
 
     if meta.get("int8"):
         def call(unet_params, vae_params, adapter_params, z, seed=0,
@@ -528,9 +532,110 @@ def load_sd_decompressor(path: PathLike):
     return call
 
 
+def export_sharded_sd_decompressor(
+    unet_params,
+    vae_params,
+    adapter_params,
+    path: PathLike,
+    mesh,
+    *,
+    unet_cfg=None,
+    vae_cfg=None,
+    size: int = 512,
+    steps: int = 30,
+    sampler: str = "ddim",
+    eta: float = 0.0,
+    cfg_batched: Optional[bool] = None,
+    batch_size: int = 1,
+    platforms: Optional[Sequence[str]] = None,
+) -> Path:
+    """Export the SD decompress program tensor-parallel over ``mesh``.
+
+    The frozen UNet shards Megatron-style over the ``model`` axis
+    (``parallel.tp.sd_unet_tp_specs`` — column/row split attention + GEGLU,
+    psum-only collectives), the batch over ``data``; VAE and adapter stay
+    replicated. This is the low-latency multi-chip SD serving shape: TP cuts
+    per-step latency where batching cannot (B=1 CFG serving).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .models.sd import SD15_UNET
+    from .parallel.mesh import DATA_AXIS, MODEL_AXIS
+    from .parallel.tp import sd_unet_tp_specs, validate_tp
+
+    ucfg = unet_cfg if unet_cfg is not None else SD15_UNET
+    n_data = mesh.shape[DATA_AXIS]
+    n_model = mesh.shape.get(MODEL_AXIS, 1)
+    validate_tp(ucfg, n_model)
+    if batch_size % n_data:
+        raise ValueError(f"batch_size {batch_size} not divisible by data axis {n_data}")
+    fc1 = jnp.shape(adapter_params["fc1"]["kernel"])
+    clip_dim = int(fc1[0])
+    n_tokens = jnp.shape(adapter_params["fc2"]["kernel"])[1] // ucfg.cross_dim
+    run = make_sd_decompress_fn(
+        unet_cfg, vae_cfg, clip_dim=clip_dim, n_tokens=n_tokens,
+        adapter_hidden=int(fc1[1]), size=size, steps=steps, sampler=sampler,
+        eta=eta, cfg_batched=cfg_batched, batch_size=batch_size,
+    )
+    repl = NamedSharding(mesh, P())
+    unet_sh = jax.tree.map(lambda s: NamedSharding(mesh, s),
+                           sd_unet_tp_specs(unet_params))
+    jitted = jax.jit(
+        run,
+        in_shardings=(unet_sh, repl, repl, NamedSharding(mesh, P(DATA_AXIS)),
+                      repl, repl),
+        out_shardings=NamedSharding(mesh, P(DATA_AXIS)),
+    )
+    z_spec = jax.ShapeDtypeStruct((batch_size, clip_dim), jnp.float32)
+    kwargs = {} if platforms is None else {"platforms": list(platforms)}
+    exp = jax_export.export(jitted, **kwargs)(
+        _spec_tree(unet_params), _spec_tree(vae_params), _spec_tree(adapter_params),
+        z_spec, jax.ShapeDtypeStruct((), jnp.int32), jax.ShapeDtypeStruct((), jnp.float32),
+    )
+    meta = dict(size=size, steps=steps, sampler=sampler, eta=eta,
+                batch_size=batch_size, z_dim=clip_dim, n_tokens=int(n_tokens),
+                sharded=True, mesh={"data": int(n_data), "model": int(n_model)})
+    return _write_artifact(path, "sd", meta, exp)
+
+
+def load_sharded_sd_decompressor(path: PathLike, mesh):
+    """Load a TP-sharded SD artifact and bind it to an equivalent ``mesh``.
+
+    Inputs are placed per the baked layout (UNet TP-sharded via
+    ``sd_unet_tp_specs``, VAE/adapter replicated, z over ``data``)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .parallel.mesh import DATA_AXIS, MODEL_AXIS
+    from .parallel.tp import shard_params_tp
+
+    exp, meta = _read_artifact(path, "sd")
+    if not meta.get("sharded"):
+        raise ValueError(f"{path}: not a sharded artifact — use load_sd_decompressor")
+    want = meta["mesh"]
+    have = {"data": int(mesh.shape.get(DATA_AXIS, 1)),
+            "model": int(mesh.shape.get(MODEL_AXIS, 1))}
+    if have != want:
+        raise ValueError(f"{path}: exported for mesh {want}, got {have}")
+    repl = NamedSharding(mesh, P())
+    z_sh = NamedSharding(mesh, P(DATA_AXIS))
+
+    def call(unet_params, vae_params, adapter_params, z, seed=0, guidance_scale=5.0):
+        up = shard_params_tp(mesh, unet_params)
+        vp = jax.device_put(vae_params, jax.tree.map(lambda _: repl, vae_params))
+        ap = jax.device_put(adapter_params, jax.tree.map(lambda _: repl, adapter_params))
+        return exp.call(up, vp, ap, jax.device_put(jnp.asarray(z, jnp.float32), z_sh),
+                        jnp.asarray(seed, jnp.int32),
+                        jnp.asarray(guidance_scale, jnp.float32))
+
+    call.platforms = exp.platforms  # type: ignore[attr-defined]
+    call.meta = meta  # type: ignore[attr-defined]
+    return call
+
+
 __all__ = [
     "make_decompress_fn", "export_decompressor", "load_decompressor",
     "export_sharded_decompressor", "load_sharded_decompressor",
     "make_sd_decompress_fn", "export_sd_decompressor", "load_sd_decompressor",
+    "export_sharded_sd_decompressor", "load_sharded_sd_decompressor",
     "read_artifact_meta",
 ]

@@ -167,6 +167,54 @@ def test_sharded_export_matches_single_device(tmp_path, tiny_params, rng):
         load_sharded_decompressor(single, mesh)
 
 
+def test_tp_sharded_sd_export(tmp_path, rng):
+    """TP(model=2) SD artifact: Megatron-sharded frozen UNet in the exported
+    program; one step matches the single-device artifact at the bf16-TP
+    drift scale (psum reduction order differs per shard)."""
+    import jax as _jax
+
+    from clip_codec_tpu.deploy import (
+        export_sd_decompressor, export_sharded_sd_decompressor,
+        load_sd_decompressor, load_sharded_sd_decompressor,
+    )
+    from clip_codec_tpu.models.sd import (
+        AutoencoderKL, SDClipAdapter, SDUNet, SDUNetConfig, VAEConfig,
+    )
+    from clip_codec_tpu.parallel import make_mesh
+
+    ucfg = SDUNetConfig(block_out=(8, 16), layers_per_block=1, cross_dim=16,
+                        heads=2, freq_dim=8)
+    vcfg = VAEConfig(block_out=(8, 16), layers_per_block=1, latent_ch=4)
+    k = _jax.random.PRNGKey(0)
+    up = SDUNet(ucfg).init(k, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,), jnp.int32),
+                           jnp.zeros((1, 2, 16)))["params"]
+    vp = AutoencoderKL(vcfg).init(k, jnp.zeros((1, 16, 16, 3)),
+                                  _jax.random.PRNGKey(1))["params"]
+    ap = SDClipAdapter(in_dim=8, ctx_dim=16, n_tokens=2).init(
+        k, jnp.zeros((1, 8)))["params"]
+    z = jnp.asarray(rng.standard_normal((1, 8)), jnp.float32)
+
+    single = export_sd_decompressor(up, vp, ap, tmp_path / "sd1.jaxprog",
+                                    unet_cfg=ucfg, vae_cfg=vcfg, size=16,
+                                    steps=1, batch_size=1)
+    ref = np.asarray(load_sd_decompressor(single)(up, vp, ap, z, seed=2,
+                                                  guidance_scale=3.0))
+
+    mesh = make_mesh(2, model_parallel=2)  # (data=1, model=2)
+    art = export_sharded_sd_decompressor(up, vp, ap, tmp_path / "sd_tp.jaxprog",
+                                         mesh, unet_cfg=ucfg, vae_cfg=vcfg,
+                                         size=16, steps=1, batch_size=1)
+    call = load_sharded_sd_decompressor(art, mesh)
+    assert call.meta["mesh"] == {"data": 1, "model": 2}
+    out = np.asarray(call(up, vp, ap, z, seed=2, guidance_scale=3.0))
+    np.testing.assert_allclose(out, ref, atol=2e-2)
+
+    with pytest.raises(ValueError, match="load_sharded_sd_decompressor"):
+        load_sd_decompressor(art)
+    with pytest.raises(ValueError, match="exported for mesh"):
+        load_sharded_sd_decompressor(art, make_mesh(4, model_parallel=4))
+
+
 def test_loader_rejects_foreign_files(tmp_path):
     p = tmp_path / "junk.bin"
     p.write_bytes(b"\x00" * 64)
