@@ -167,6 +167,47 @@ def test_sharded_export_matches_single_device(tmp_path, tiny_params, rng):
         load_sharded_decompressor(single, mesh)
 
 
+def test_export_decoder_cli_sd(tmp_path, rng, monkeypatch):
+    """cli.export_decoder --sd: env msgpack weights + adapter checkpoint ->
+    loadable SD artifact with inferred adapter geometry."""
+    import sys
+
+    import jax as _jax
+
+    from clip_codec_tpu.cli.export_decoder import main
+    from clip_codec_tpu.models.sd import (
+        AutoencoderKL, SDClipAdapter, SDUNet, SDUNetConfig, VAEConfig,
+    )
+    from clip_codec_tpu.utils.checkpoint import save_params
+
+    ucfg = SDUNetConfig(block_out=(8, 16), layers_per_block=1, cross_dim=16,
+                        heads=2, freq_dim=8)
+    vcfg = VAEConfig(block_out=(8, 16), layers_per_block=1, latent_ch=4)
+    k = _jax.random.PRNGKey(0)
+    up = SDUNet(ucfg).init(k, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,), jnp.int32),
+                           jnp.zeros((1, 2, 16)))["params"]
+    vp = AutoencoderKL(vcfg).init(k, jnp.zeros((1, 16, 16, 3)),
+                                  _jax.random.PRNGKey(1))["params"]
+    ap = SDClipAdapter(in_dim=8, ctx_dim=16, n_tokens=2).init(
+        k, jnp.zeros((1, 8)))["params"]
+    monkeypatch.setenv("CLIP_CODEC_SD_UNET_WEIGHTS",
+                       str(save_params(tmp_path / "u.msgpack", up)))
+    monkeypatch.setenv("CLIP_CODEC_SD_VAE_WEIGHTS",
+                       str(save_params(tmp_path / "v.msgpack", vp)))
+    adapter = save_params(tmp_path / "a.msgpack", ap)
+    out = tmp_path / "sd_cli.jaxprog"
+    monkeypatch.setattr(sys, "argv", [
+        "prog", "--sd", "--adapter", str(adapter), "--out", str(out),
+        "--size", "16", "--steps", "2", "--heads", "2", "--device", "cpu",
+    ])
+    main()
+    call = load_sd_decompressor(out)
+    assert call.meta["z_dim"] == 8 and call.meta["n_tokens"] == 2
+    z = jnp.asarray(rng.standard_normal((1, 8)), jnp.float32)
+    img = call(up, vp, ap, z, seed=1)
+    assert img.shape == (1, 16, 16, 3) and bool(jnp.isfinite(img).all())
+
+
 def test_tp_sharded_sd_export(tmp_path, rng):
     """TP(model=2) SD artifact: Megatron-sharded frozen UNet in the exported
     program; one step matches the single-device artifact at the bf16-TP
