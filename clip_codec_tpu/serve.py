@@ -18,6 +18,8 @@ Endpoints:
 * ``POST /decompress_sd?guidance=5.0&seed=N&format=png|jpeg`` -> body: one
   ``.clp`` frame; reconstructs via the SD latent path. Requires
   ``--sd_artifact`` + ``--adapter`` (and the SD weight env vars).
+* ``GET  /stats``                 -> per-endpoint request counts, decompress
+  latency percentiles, and the micro-batcher's measured fill rate.
 
 Run: ``python -m clip_codec_tpu.serve --store_dir store [--port 8700]``.
 Requests are serialized through one lock — a single accelerator executes one
@@ -81,8 +83,15 @@ class _MicroBatcher:
         self._wait = max_wait_ms / 1000.0
         self._q: queue.Queue = queue.Queue()
         self._seeds = itertools.count()
+        self.calls = 0          # program invocations
+        self.rows_served = 0    # real (non-padding) rows across them
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
+
+    @property
+    def fill_rate(self) -> float:
+        """Mean fraction of each program call's batch that was real work."""
+        return self.rows_served / (self.calls * self.batch_size) if self.calls else 0.0
 
     def submit(self, z_row: np.ndarray, timeout: float = 600.0) -> np.ndarray:
         done = threading.Event()
@@ -112,6 +121,8 @@ class _MicroBatcher:
                     [zs, np.repeat(zs[-1:], self.batch_size - len(batch), axis=0)])
             try:
                 imgs = self._run(zs, next(self._seeds))
+                self.calls += 1
+                self.rows_served += len(batch)
                 for i, (_, done, slot) in enumerate(batch):
                     slot["img"] = imgs[i]
                     done.set()
@@ -130,6 +141,17 @@ def make_handler(codec: ClipCodec, artifact=None, batcher: Optional[_MicroBatche
     ``(call, unet_params, vae_params, adapter_params, quant)`` SD artifact
     backing /decompress_sd."""
     lock = threading.Lock()
+    stats_lock = threading.Lock()
+    counts: dict = {}
+    latencies: list = []  # rolling /decompress* wall times, capped
+
+    def record(endpoint: str, dt: Optional[float] = None) -> None:
+        with stats_lock:
+            counts[endpoint] = counts.get(endpoint, 0) + 1
+            if dt is not None:
+                latencies.append(dt)
+                if len(latencies) > 512:
+                    del latencies[: len(latencies) - 512]
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, body: bytes, ctype: str) -> None:
@@ -189,8 +211,27 @@ def make_handler(codec: ClipCodec, artifact=None, batcher: Optional[_MicroBatche
                 self._send(200, buf.getvalue(), "image/jpeg")
 
         def do_GET(self):
-            if urlparse(self.path).path == "/healthz":
+            path = urlparse(self.path).path
+            if path == "/healthz":
                 self._json(200, {"status": "ok", "dim": codec.dim})
+            elif path == "/stats":
+                with stats_lock:
+                    lat = sorted(latencies)
+                    out = {
+                        "requests": dict(counts),
+                        "decompress_latency_s": {
+                            "n": len(lat),
+                            "p50": lat[len(lat) // 2] if lat else None,
+                            "p95": lat[int(len(lat) * 0.95)] if lat else None,
+                        },
+                    }
+                if batcher is not None:
+                    out["micro_batch"] = {
+                        "batch_size": batcher.batch_size,
+                        "calls": batcher.calls,
+                        "fill_rate": round(batcher.fill_rate, 4),
+                    }
+                self._json(200, out)
             else:
                 self._json(404, {"error": "unknown endpoint"})
 
@@ -202,12 +243,15 @@ def make_handler(codec: ClipCodec, artifact=None, batcher: Optional[_MicroBatche
                     img = Image.open(io.BytesIO(self._body()))
                     with lock:
                         blob = codec.compress([img], batch_size=1)[0]
+                    record("compress")
                     self._send(200, blob, "application/octet-stream")
                 elif url.path == "/embed":
                     with lock:
                         z = codec.decode_embeddings([self._body()])[0]
+                    record("embed")
                     self._json(200, {"embedding": [float(v) for v in z]})
                 elif url.path == "/decompress":
+                    t0 = time.monotonic()
                     if not self._check_format(q):
                         return
                     if artifact is not None:
@@ -240,8 +284,10 @@ def make_handler(codec: ClipCodec, artifact=None, batcher: Optional[_MicroBatche
                         with lock:
                             img = codec.decompress([self._body()], size=size, steps=steps,
                                                    batch_size=1, sampler=sampler, seed=seed)[0]
+                    record("decompress", time.monotonic() - t0)
                     self._send_image(img, q)
                 elif url.path == "/decompress_sd":
+                    t0 = time.monotonic()
                     if sd is None:
                         self._json(503, {"error": "no SD artifact loaded; start "
                                                   "with --sd_artifact + --adapter"})
@@ -256,6 +302,7 @@ def make_handler(codec: ClipCodec, artifact=None, batcher: Optional[_MicroBatche
                     with lock:
                         img = np.asarray(sd_call(up, vp, ap_, z, seed=seed,
                                                  guidance_scale=guidance, **kw))[0]
+                    record("decompress_sd", time.monotonic() - t0)
                     self._send_image(img, q)
                 else:
                     self._json(404, {"error": "unknown endpoint"})

@@ -226,6 +226,46 @@ def test_artifact_decompress(artifact_server):
     assert _request(addr, "POST", "/decompress?seed=8", blob)[2] != data
 
 
+def test_stats_endpoint(artifact_server):
+    addr, q, _ = artifact_server
+    blob = compress_frame(q[3].tobytes())
+    assert _request(addr, "POST", "/decompress", blob)[0] == 200
+    status, _, data = _request(addr, "GET", "/stats")
+    assert status == 200
+    st = json.loads(data)
+    assert st["requests"]["decompress"] >= 1
+    assert st["decompress_latency_s"]["p50"] > 0
+
+
+def test_microbatch_fill_rate_in_stats(artifact_server):
+    """Under concurrent load the batcher's measured fill rate shows up."""
+    _, q, (store, ckpt, mc, tmp) = artifact_server
+    from clip_codec_tpu.deploy import export_decompressor
+    from clip_codec_tpu.utils.checkpoint import load_params
+
+    art = export_decompressor(load_params(ckpt), mc, tmp / "dec_stats.jaxprog",
+                              size=16, steps=3, batch_size=2)
+    srv = serve(str(store), weights=str(ckpt), port=0, artifact=str(art),
+                batch_wait_ms=100.0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        addr = srv.server_address
+        blobs = [compress_frame(q[i].tobytes()) for i in range(4)]
+        threads = [threading.Thread(
+            target=lambda i=i: _request(addr, "POST", "/decompress", blobs[i]))
+            for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        st = json.loads(_request(addr, "GET", "/stats")[2])
+        mb = st["micro_batch"]
+        assert mb["batch_size"] == 2 and mb["calls"] >= 2
+        assert 0 < mb["fill_rate"] <= 1.0
+    finally:
+        srv.shutdown()
+
+
 def test_artifact_statics_mismatch_412(artifact_server):
     addr, q, _ = artifact_server
     blob = compress_frame(q[2].tobytes())
