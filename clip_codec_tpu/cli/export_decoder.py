@@ -76,13 +76,21 @@ def main() -> None:
     ch_mult = (tuple(int(c) for c in args.ch_mult.split(","))
                if args.ch_mult is not None else (mc.ch_mult if mc else (1, 2, 2)))
     params = load_unet_checkpoint(args.weights, ch_mult)
+    overrides = {}
+    if args.z_dim is not None:
+        overrides["z_dim"] = args.z_dim
+    if args.base is not None:
+        overrides["base"] = args.base
+    if args.ch_mult is not None:
+        overrides["ch_mult"] = ch_mult
     if mc is None:
-        overrides = {}
-        if args.z_dim is not None:
-            overrides["z_dim"] = args.z_dim
-        if args.base is not None:
-            overrides["base"] = args.base
         mc = ModelConfig.infer_from_params(params, **overrides)
+    elif overrides:
+        # explicit flags beat the config file (same precedence as the
+        # reconstruct/eval CLIs)
+        import dataclasses
+
+        mc = dataclasses.replace(mc, **overrides)
     quant = None
     if args.int8:
         # calibrate on the build box (real params available here) and ship
@@ -113,21 +121,16 @@ def main() -> None:
 
 
 def _export_sd(args, platforms) -> None:
-    import os
-
     if args.adapter is None:
         raise SystemExit("--sd requires --adapter <trained adapter checkpoint>")
-    unet_path = os.environ.get("CLIP_CODEC_SD_UNET_WEIGHTS")
-    vae_path = os.environ.get("CLIP_CODEC_SD_VAE_WEIGHTS")
-    if not unet_path or not vae_path:
-        raise RuntimeError(
-            "SD weights not configured. Convert diffusers SD-1.5 UNet/VAE checkpoints and set "
-            "CLIP_CODEC_SD_UNET_WEIGHTS and CLIP_CODEC_SD_VAE_WEIGHTS."
-        )
     from pathlib import Path
 
     from ..deploy import export_sd_decompressor
-    from ..weights.convert_sd import infer_sd_configs, load_sd_params
+    from ..weights.convert_sd import (
+        infer_sd_configs, load_sd_params, require_sd_weight_paths,
+    )
+
+    unet_path, vae_path = require_sd_weight_paths()
     from .reconstruct_sd_diffusion import load_adapter_params
 
     size = 512 if args.size is None else args.size

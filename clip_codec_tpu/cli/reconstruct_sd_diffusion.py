@@ -23,7 +23,6 @@ for the inversion encoders.
 from __future__ import annotations
 
 import argparse
-import os
 from pathlib import Path
 
 from ._common import apply_device_flag, default_device
@@ -82,13 +81,9 @@ def main() -> None:
         )
     apply_device_flag(args.device)
 
-    unet_path = os.environ.get("CLIP_CODEC_SD_UNET_WEIGHTS")
-    vae_path = os.environ.get("CLIP_CODEC_SD_VAE_WEIGHTS")
-    if not unet_path or not vae_path:
-        raise RuntimeError(
-            "SD weights not configured. Convert diffusers SD-1.5 UNet/VAE checkpoints and set "
-            "CLIP_CODEC_SD_UNET_WEIGHTS and CLIP_CODEC_SD_VAE_WEIGHTS."
-        )
+    from ..weights.convert_sd import require_sd_weight_paths
+
+    unet_path, vae_path = require_sd_weight_paths()
 
     import jax
     import jax.numpy as jnp

@@ -72,19 +72,14 @@ def main() -> None:
         initialize_distributed()
         args.data_parallel = True
 
-    unet_path = os.environ.get("CLIP_CODEC_SD_UNET_WEIGHTS")
-    vae_path = os.environ.get("CLIP_CODEC_SD_VAE_WEIGHTS")
-    if not unet_path or not vae_path:
-        raise RuntimeError(
-            "SD weights not configured. Convert diffusers SD-1.5 UNet/VAE checkpoints "
-            f"for {args.model_name} and set CLIP_CODEC_SD_UNET_WEIGHTS and "
-            "CLIP_CODEC_SD_VAE_WEIGHTS (torch/.safetensors, or converted .msgpack)."
-        )
-
     from ..io.store import Store
     from ..models.sd import StableDiffusionDecoder
     from ..train.sd_diffusion_train import SDTrainConfig, train_sd_diffusion
-    from ..weights.convert_sd import infer_sd_configs, load_sd_params
+    from ..weights.convert_sd import (
+        infer_sd_configs, load_sd_params, require_sd_weight_paths,
+    )
+
+    unet_path, vae_path = require_sd_weight_paths(args.model_name)
 
     unet_params, vae_params = load_sd_params(unet_path, vae_path)
     unet_cfg, vae_cfg = infer_sd_configs(unet_params, vae_params, heads=args.heads)

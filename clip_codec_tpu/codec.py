@@ -172,8 +172,11 @@ class ClipCodec:
         ``steps``).
 
         ``seed``: reproducible trajectories — the same seed resamples the
-        same images (matching the AOT artifact path's semantics). Default
-        keeps the codec's evolving internal rng: successive calls differ.
+        same images. The FIRST batch uses ``PRNGKey(seed)`` directly, exactly
+        like the AOT artifact path (``deploy.make_decompress_fn``), so a
+        single-batch request reproduces across traced and artifact serving;
+        later batches fold the batch index into the key. Default keeps the
+        codec's evolving internal rng: successive calls differ.
         """
         if self._model_fn is None:
             raise RuntimeError(
@@ -190,13 +193,13 @@ class ClipCodec:
         n = z.shape[0]
         from .utils.batching import pad_rows
 
-        rng = jax.random.PRNGKey(seed) if seed is not None else None
-        for s in range(0, n, batch_size):
+        key = jax.random.PRNGKey(seed) if seed is not None else None
+        for bi, s in enumerate(range(0, n, batch_size)):
             zb = z[s : s + batch_size]
             k = zb.shape[0]
             zb = pad_rows(zb, batch_size)
-            if rng is not None:
-                rng, srng = jax.random.split(rng)
+            if key is not None:
+                srng = key if bi == 0 else jax.random.fold_in(key, bi)
             else:
                 self._rng, srng = jax.random.split(self._rng)
             x = sampler.sample(model_fn, jnp.asarray(zb), (batch_size, size, size, 3),

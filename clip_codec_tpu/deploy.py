@@ -99,14 +99,23 @@ def _spec_tree(tree):
 
 
 def _read_artifact(path: PathLike, expect_kind: str):
-    meta = read_artifact_meta(path)
+    import json
+
+    blob = Path(path).read_bytes()
+    if not blob.startswith(_MAGIC):
+        raise ValueError(f"{path}: not a clip_codec_tpu exported program")
+    header, _, body = blob[len(_MAGIC):].partition(b"\n")
+    try:
+        meta = json.loads(header)
+    except ValueError as e:
+        raise ValueError(f"{path}: corrupt artifact header: {e}") from None
+    if meta.get("kind") not in _KINDS:
+        raise ValueError(f"{path}: unknown artifact kind {meta.get('kind')!r}")
     if meta["kind"] != expect_kind:
         raise ValueError(
             f"{path}: this is a {meta['kind']!r} artifact — load it with "
             f"load_{'sd_' if meta['kind'] == 'sd' else ''}decompressor"
         )
-    blob = Path(path).read_bytes()
-    body = blob[len(_MAGIC):].partition(b"\n")[2]
     return jax_export.deserialize(bytearray(body)), meta
 
 

@@ -22,8 +22,9 @@ Endpoints:
   latency percentiles, and the micro-batcher's measured fill rate.
 
 Run: ``python -m clip_codec_tpu.serve --store_dir store [--port 8700]``.
-Requests are serialized through one lock — a single accelerator executes one
-program at a time anyway; concurrency belongs at the batch dimension.
+Device work is serialized through ONE lock shared by every endpoint and the
+micro-batch worker — a single accelerator executes one program at a time
+anyway; concurrency belongs at the batch dimension.
 
 ``--artifact decoder.jaxprog`` serves ``/decompress`` from an AOT-exported
 program (``cli.export_decoder``) instead of tracing the model: no flax model
@@ -133,14 +134,15 @@ class _MicroBatcher:
 
 
 def make_handler(codec: ClipCodec, artifact=None, batcher: Optional[_MicroBatcher] = None,
-                 sd=None):
+                 sd=None, lock: Optional[threading.Lock] = None):
     """``artifact``: optional ``(call, params, quant)`` from an AOT-exported
     pixel decompressor — replaces the traced /decompress path (``quant`` is
     the int8 calibration sidecar, None for bf16 artifacts). ``batcher``:
     micro-batching worker for batch>1 artifacts. ``sd``: optional
     ``(call, unet_params, vae_params, adapter_params, quant)`` SD artifact
-    backing /decompress_sd."""
-    lock = threading.Lock()
+    backing /decompress_sd. ``lock``: the device lock — pass the one the
+    micro-batcher shares so exactly one program is in flight at a time."""
+    lock = lock if lock is not None else threading.Lock()
     stats_lock = threading.Lock()
     counts: dict = {}
     latencies: list = []  # rolling /decompress* wall times, capped
@@ -182,7 +184,7 @@ def make_handler(codec: ClipCodec, artifact=None, batcher: Optional[_MicroBatche
             statics — the program is compiled for exactly one configuration."""
             mismatches = {
                 k: (q[k][0], meta[k]) for k, cast in
-                (("size", int), ("steps", int), ("sampler", str))
+                (("size", int), ("steps", int), ("sampler", str), ("eta", float))
                 if k in q and cast(q[k][0]) != meta[k]
             }
             if mismatches:
@@ -324,6 +326,7 @@ def serve(store_dir: str, weights: Optional[str] = None, host: str = "127.0.0.1"
     codec = ClipCodec.load(store_dir, weights=weights)
     art = None
     batcher = None
+    device_lock = threading.Lock()  # one program in flight at a time
     if adapter is not None and sd_artifact is None:
         raise ValueError("--adapter only makes sense with --sd_artifact")
     sd = _load_sd_serving(sd_artifact, adapter, codec) if sd_artifact else None
@@ -339,14 +342,23 @@ def serve(store_dir: str, weights: Optional[str] = None, host: str = "127.0.0.1"
 
         call = load_decompressor(artifact)
         quant = _validate_artifact(call, codec, artifact)
-        mc = ModelConfig.find_for_checkpoint(weights)
-        ch_mult = mc.ch_mult if mc else (1, 2, 2)
-        # device_put ONCE: host numpy params would re-upload the whole tree
-        # per request (inside the serialization lock) on remote transports
-        art = (call, jax.device_put(load_unet_checkpoint(weights, ch_mult)), quant)
+        # the codec already parsed this checkpoint for its (unreachable in
+        # artifact mode) traced path — reuse the host tree instead of a
+        # second msgpack parse; device_put ONCE, host numpy params would
+        # re-upload the whole tree per request on remote transports
+        if codec.unet_params is not None:
+            host_params = codec.unet_params
+        else:
+            mc = ModelConfig.find_for_checkpoint(weights)
+            host_params = load_unet_checkpoint(weights, mc.ch_mult if mc else (1, 2, 2))
+        art = (call, jax.device_put(host_params), quant)
         c, p, qn = art
         kw = {} if qn is None else {"quant": qn}
-        run = lambda zs, seed: np.asarray(c(p, zs, seed=seed, **kw))  # noqa: E731
+
+        def run(zs, seed):
+            with device_lock:
+                return np.asarray(c(p, zs, seed=seed, **kw))
+
         # warm at startup: the first program call compiles (~13 s at flagship
         # scale over a remote transport) — pay it before accepting traffic
         run(np.zeros((call.meta["batch_size"], codec.dim), np.float32), 0)
@@ -355,7 +367,8 @@ def serve(store_dir: str, weights: Optional[str] = None, host: str = "127.0.0.1"
             batcher = _MicroBatcher(run, batch_size=call.meta["batch_size"],
                                     max_wait_ms=batch_wait_ms)
     server = _Server(
-        (host, port), make_handler(codec, artifact=art, batcher=batcher, sd=sd))
+        (host, port),
+        make_handler(codec, artifact=art, batcher=batcher, sd=sd, lock=device_lock))
     mode = f", artifact={artifact}" if artifact else ""
     if batcher is not None:
         mode += f", micro-batch={batcher.batch_size}"
@@ -400,8 +413,6 @@ def _load_sd_serving(sd_artifact: str, adapter: Optional[str], codec: ClipCodec)
     Frozen UNet/VAE come from $CLIP_CODEC_SD_UNET_WEIGHTS /
     $CLIP_CODEC_SD_VAE_WEIGHTS (torch or converted msgpack), the trained
     adapter from ``adapter``; all three ride as call-time arguments."""
-    import os
-
     import jax
 
     from .cli.reconstruct_sd_diffusion import load_adapter_params
@@ -409,15 +420,11 @@ def _load_sd_serving(sd_artifact: str, adapter: Optional[str], codec: ClipCodec)
 
     if adapter is None:
         raise ValueError("--sd_artifact needs --adapter <trained adapter checkpoint>")
-    unet_path = os.environ.get("CLIP_CODEC_SD_UNET_WEIGHTS")
-    vae_path = os.environ.get("CLIP_CODEC_SD_VAE_WEIGHTS")
-    if not unet_path or not vae_path:
-        raise RuntimeError(
-            "SD weights not configured. Convert diffusers SD-1.5 UNet/VAE checkpoints and set "
-            "CLIP_CODEC_SD_UNET_WEIGHTS and CLIP_CODEC_SD_VAE_WEIGHTS.")
     from pathlib import Path
 
-    from .weights.convert_sd import load_sd_params
+    from .weights.convert_sd import load_sd_params, require_sd_weight_paths
+
+    unet_path, vae_path = require_sd_weight_paths()
 
     call = load_sd_decompressor(sd_artifact)
     if call.meta["batch_size"] != 1:

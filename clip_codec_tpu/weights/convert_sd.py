@@ -198,6 +198,24 @@ def convert_sd_adapter(sd: Mapping) -> Dict:
     }
 
 
+def require_sd_weight_paths(model_name: Optional[str] = None) -> Tuple[str, str]:
+    """The (unet, vae) checkpoint paths from the environment, or a uniform
+    RuntimeError telling the operator how to configure them — the one place
+    every SD-consuming surface (CLIs, serving) resolves weights from."""
+    import os
+
+    unet_path = os.environ.get("CLIP_CODEC_SD_UNET_WEIGHTS")
+    vae_path = os.environ.get("CLIP_CODEC_SD_VAE_WEIGHTS")
+    if not unet_path or not vae_path:
+        what = f" for {model_name}" if model_name else ""
+        raise RuntimeError(
+            f"SD weights not configured. Convert diffusers SD-1.5 UNet/VAE "
+            f"checkpoints{what} and set CLIP_CODEC_SD_UNET_WEIGHTS and "
+            "CLIP_CODEC_SD_VAE_WEIGHTS (torch/.safetensors, or converted .msgpack)."
+        )
+    return unet_path, vae_path
+
+
 def load_sd_params(unet_path: Optional[str] = None, vae_path: Optional[str] = None) -> Tuple[Dict, Dict]:
     """Read diffusers checkpoint files (torch ``.bin`` or ``.safetensors``),
     or already-converted Flax param trees (``.msgpack`` from

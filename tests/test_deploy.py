@@ -106,6 +106,29 @@ def test_export_decoder_cli(tmp_path, tiny_params, rng, monkeypatch):
     assert img.shape == (1, 16, 16, 3) and bool(jnp.isfinite(img).all())
 
 
+def test_seed_parity_traced_vs_artifact(tmp_path, tiny_params, rng):
+    """The same ?seed= must sample the same image whether served by the
+    traced ClipCodec path or the AOT artifact — operators switch between
+    the two deployment modes and clients rely on seed reproducibility."""
+    from clip_codec_tpu.codec import ClipCodec
+    from clip_codec_tpu.codecs.quantizer import fit_affine, quantize
+    from clip_codec_tpu.io.bitstream import compress_frame
+
+    feats = rng.standard_normal((2, MC.z_dim)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    scale, zero = fit_affine(feats)
+    q = np.asarray(quantize(feats, scale, zero))
+    codec = ClipCodec(np.asarray(scale), np.asarray(zero), tiny_params, MC)
+    blob = compress_frame(q[0].tobytes())
+
+    traced = codec.decompress([blob], size=16, steps=3, batch_size=1, seed=9)[0]
+    art = export_decompressor(tiny_params, MC, tmp_path / "sp.jaxprog",
+                              size=16, steps=3, batch_size=1)
+    z = codec.decode_embeddings([blob])
+    out = np.asarray(load_decompressor(art)(tiny_params, z, seed=9))[0]
+    np.testing.assert_allclose(out, traced, atol=1e-4)
+
+
 def test_uint8_output_artifact(tmp_path, tiny_params, rng):
     """output='uint8' folds the PNG-prep conversion into the program —
     pixel-identical to converting the float32 artifact's output on host."""
