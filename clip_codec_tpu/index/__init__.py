@@ -1,3 +1,12 @@
-from .search import FlatIPIndex, build_index, search_index
+from .search import (
+    FlatIPIndex,
+    ShardedFlatIPIndex,
+    build_index,
+    build_sharded_index,
+    search_index,
+)
 
-__all__ = ["FlatIPIndex", "build_index", "search_index"]
+__all__ = [
+    "FlatIPIndex", "build_index", "search_index",
+    "ShardedFlatIPIndex", "build_sharded_index",
+]

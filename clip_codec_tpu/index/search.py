@@ -64,3 +64,72 @@ def search_index(
             continue
         out.append((paths[int(i)], float(scores[0, j])))
     return out
+
+
+# --------------------------------------------------------------- multi-chip
+
+
+@dataclass
+class ShardedFlatIPIndex:
+    """Exact inner-product index with the feature ROWS sharded over the
+    ``data`` axis of a device mesh — the scale-out shape for stores past one
+    chip's HBM. Search runs per-shard matmul + local ``top_k`` inside a
+    ``shard_map`` (so only ``k`` candidates per shard cross the ICI, never
+    the (Q, N) score matrix), then one global merge. Results are identical
+    to :class:`FlatIPIndex` (exact search, no approximation).
+    """
+
+    feats: jax.Array  # (N_padded, D), row-sharded over 'data'
+    ntotal: int       # real rows (pre-padding)
+    mesh: object
+
+    def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        k = max(1, min(k, self.ntotal))
+        q = jnp.asarray(queries, jnp.float32)
+        if q.ndim == 1:
+            q = q[None]
+        # per-shard candidates: local top-min(k, shard) with GLOBAL row ids
+        scores, ids = _sharded_candidates(self.mesh, self.feats, q, k)
+        # global merge on host-sized data: (Q, k * n_shards) candidates
+        scores = np.asarray(scores)
+        ids = np.asarray(ids)
+        scores = np.where(ids < self.ntotal, scores, -np.inf)  # drop padding
+        order = np.argsort(-scores, axis=1)[:, :k]
+        rows = np.arange(scores.shape[0])[:, None]
+        return scores[rows, order], ids[rows, order]
+
+
+def _sharded_candidates(mesh, feats, q, k: int):
+    from jax.sharding import PartitionSpec as P
+
+    shard_rows = feats.shape[0] // mesh.shape["data"]
+    kk = min(k, shard_rows)
+
+    def local(feats_l, q_l):
+        sims = q_l @ feats_l.T  # (Q, N/n) on this shard's MXU
+        s, i = jax.lax.top_k(sims, kk)
+        base = jax.lax.axis_index("data").astype(jnp.int32) * shard_rows
+        return s, base + i.astype(jnp.int32)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data", None), P()),
+        out_specs=(P(None, "data"), P(None, "data")),
+        check_vma=False,
+    )
+    return jax.jit(fn)(feats, q)
+
+
+def build_sharded_index(feats: np.ndarray, mesh) -> ShardedFlatIPIndex:
+    """Row-shard ``feats`` over ``mesh``'s ``data`` axis (zero-padding to a
+    multiple; padded rows can never win — their ids are masked at merge)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    feats = np.asarray(feats, np.float32)
+    n = mesh.shape["data"]
+    ntotal = feats.shape[0]
+    pad = (-ntotal) % n
+    if pad:
+        feats = np.concatenate([feats, np.zeros((pad, feats.shape[1]), np.float32)])
+    sharded = jax.device_put(feats, NamedSharding(mesh, P("data", None)))
+    return ShardedFlatIPIndex(feats=sharded, ntotal=ntotal, mesh=mesh)

@@ -127,6 +127,27 @@ def test_index_search(rng):
     assert len(res_all) == 50
 
 
+def test_sharded_index_matches_flat(rng):
+    """Row-sharded exact search over the 8-device mesh returns the same
+    (scores, ids) as the single-device index — incl. a non-divisible N
+    (padding masked at merge) and k > shard_rows."""
+    from clip_codec_tpu.index import build_index, build_sharded_index
+    from clip_codec_tpu.parallel import make_mesh
+
+    feats = rng.standard_normal((53, 16)).astype(np.float32)  # 53 % 8 != 0
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    q = rng.standard_normal((3, 16)).astype(np.float32)
+
+    flat = build_index(feats)
+    sharded = build_sharded_index(feats, make_mesh(8))
+    assert sharded.ntotal == 53
+    for k in (1, 5, 9, 500):  # 9 > ceil(56/8)=7 shard rows; 500 clamps
+        s0, i0 = flat.search(q, k)
+        s1, i1 = sharded.search(q, k)
+        np.testing.assert_array_equal(i0, i1)
+        np.testing.assert_allclose(s0, s1, rtol=1e-6, atol=1e-6)
+
+
 def test_lpips_batch_weights_present(rng):
     """The eval CLI's batched LPIPS path with (random) weights PRESENT: one
     jitted forward scores the whole batch, per-row equal to the scalar API."""
