@@ -6,8 +6,11 @@ Flag-compatible with the reference (``cli/search_text.py:45-51``):
 
 Reference behaviors kept: features come from ``decoded.npy`` when present
 (the reference *requires* it — its in-file bitstream path is dead placeholder
-code, ``search_text.py:36-43``). Improvement: when ``decoded.npy`` is absent
-we decode the store's bitstreams directly instead of exiting.
+code, ``search_text.py:36-43``). Improvements: when ``decoded.npy`` is absent
+we decode the store's bitstreams directly instead of exiting, and
+``--data_parallel`` row-shards the feature matrix over every chip
+(:class:`~clip_codec_tpu.index.ShardedFlatIPIndex`) for stores past one
+chip's HBM — exact search, identical results.
 """
 
 from __future__ import annotations
@@ -38,16 +41,25 @@ def main() -> None:
     ap.add_argument("--query", type=str, required=True)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--use_gpu", action="store_true")  # accepted for parity; placement is JAX's
+    ap.add_argument("--data_parallel", action="store_true",
+                    help="row-shard the feature matrix over all chips "
+                         "(ShardedFlatIPIndex) — for stores past one chip's "
+                         "HBM; results identical to the single-chip index")
     ap.add_argument("--weights", type=str, default=None)
     ap.add_argument("--bpe", type=str, default=None)
     args = ap.parse_args()
 
     from ..encoders import ClipEncoder
-    from ..index import build_index, search_index
+    from ..index import build_index, build_sharded_index, search_index
 
     store_dir = Path(args.store_dir)
     feats, paths = load_features(store_dir)
-    idx = build_index(feats, use_gpu=args.use_gpu)
+    if args.data_parallel:
+        from ..parallel import make_mesh
+
+        idx = build_sharded_index(feats, make_mesh())
+    else:
+        idx = build_index(feats, use_gpu=args.use_gpu)
     encoder = ClipEncoder(weights_path=args.weights, bpe_path=args.bpe)
     qvec = encoder.encode_text(args.query)[0]
     for p, s in search_index(qvec, idx, paths, k=args.k):

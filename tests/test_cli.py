@@ -170,6 +170,44 @@ def test_search_text_feature_fallback(trained_store):
     (store / "decoded.npy").unlink()
 
 
+def test_search_text_cli_sharded_matches_flat(trained_store, monkeypatch, capsys):
+    """--data_parallel routes search through the row-sharded index over the
+    8-device mesh; printed (score, path) lines are identical to the
+    single-device index. CLIP is stubbed (query encode needs weights); the
+    4-row store also exercises padding to the 8-way mesh (shard_rows=1)."""
+    import clip_codec_tpu.encoders as encoders_mod
+    from clip_codec_tpu.cli.search_text import main
+
+    store, ckpt, tmp = trained_store
+    qvec = np.load(store / "codec_meta.npz")["scale"].astype(np.float32)
+    qvec /= np.linalg.norm(qvec)
+
+    class _StubEncoder:
+        def __init__(self, **kw):
+            pass
+
+        def encode_text(self, text):
+            return qvec[None, :]
+
+    monkeypatch.setattr(encoders_mod, "ClipEncoder", _StubEncoder)
+
+    _run_cli(monkeypatch, main, ["--store_dir", str(store), "--query", "x", "--k", "3"])
+    flat_out = capsys.readouterr().out
+    _run_cli(monkeypatch, main, ["--store_dir", str(store), "--query", "x",
+                                 "--k", "3", "--data_parallel"])
+    sharded_out = capsys.readouterr().out
+
+    def parse(out):
+        rows = [ln.split("\t") for ln in out.strip().splitlines()]
+        return [p for _, p in rows], np.array([float(s) for s, _ in rows])
+
+    flat_paths, flat_scores = parse(flat_out)
+    sh_paths, sh_scores = parse(sharded_out)
+    assert len(flat_paths) == 3
+    assert flat_paths == sh_paths
+    np.testing.assert_allclose(flat_scores, sh_scores, atol=1e-4)
+
+
 def test_model_config_autopickup(trained_store, monkeypatch, tmp_path):
     """Training writes model_config.json; reconstruct CLI rebuilds the right
     model without --base/--ch_mult flags (the reference silently mismatches)."""
