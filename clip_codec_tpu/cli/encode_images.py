@@ -28,6 +28,9 @@ def main() -> None:
     ap.add_argument("--device", type=str, default=default_device())
     ap.add_argument("--weights", type=str, default=None,
                     help="CLIP checkpoint path (else $CLIP_CODEC_CLIP_WEIGHTS)")
+    ap.add_argument("--data_parallel", action="store_true",
+                    help="shard each encode batch over all chips (params "
+                         "replicated); same embeddings, N-chip throughput")
     args = ap.parse_args()
     apply_device_flag(args.device)
 
@@ -38,7 +41,12 @@ def main() -> None:
     from ..encoders import ClipEncoder
     from ..io.store import write_store
 
-    encoder = ClipEncoder(weights_path=args.weights)
+    mesh = None
+    if args.data_parallel:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh()
+    encoder = ClipEncoder(weights_path=args.weights, mesh=mesh)
     paths = rglob_images(args.img_dir)
     feats, kept = encoder.encode_images(paths, batch_size=args.batch_size)
     if feats.size == 0:

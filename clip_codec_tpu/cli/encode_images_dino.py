@@ -29,6 +29,9 @@ def main() -> None:
     ap.add_argument("--device", type=str, default=default_device())
     ap.add_argument("--weights", type=str, default=None,
                     help="Dinov2 checkpoint path (else $CLIP_CODEC_DINO_WEIGHTS)")
+    ap.add_argument("--data_parallel", action="store_true",
+                    help="shard each encode batch over all chips (params "
+                         "replicated); same embeddings, N-chip throughput")
     args = ap.parse_args()
     apply_device_flag(args.device)
 
@@ -43,7 +46,12 @@ def main() -> None:
     from ..encoders import DinoEncoder
     from ..io.store import write_store
 
-    encoder = DinoEncoder(weights_path=args.weights)
+    mesh = None
+    if args.data_parallel:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh()
+    encoder = DinoEncoder(weights_path=args.weights, mesh=mesh)
     z, kept = encoder.encode_images([str(p) for p in img_paths])
     if z.size == 0:
         raise SystemExit("No images encoded.")

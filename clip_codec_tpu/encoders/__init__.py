@@ -55,6 +55,7 @@ class ClipEncoder:
         cfg: CLIPConfig = VIT_B_32,
         bpe_path: Optional[str] = None,
         dtype=jnp.bfloat16,
+        mesh=None,
     ) -> None:
         from ..weights.convert_clip import load_clip_params
 
@@ -64,6 +65,17 @@ class ClipEncoder:
         self.params = {"params": load_clip_params(str(wpath), cfg.vision_depth, cfg.text_depth)}
         self._bpe_path = bpe_path
         self._tokenizer: Optional[CLIPTokenizer] = None
+        # Optional data parallelism: params replicated over `mesh`, the pixel
+        # batch row-sharded over its `data` axis — GSPMD partitions the ViT
+        # forward with zero model-code changes (encoding is embarrassingly
+        # batch-parallel; the reference is single-device, cli/encode_images.py:46).
+        self.mesh = mesh
+        self._data_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self.params = jax.device_put(self.params, NamedSharding(mesh, P()))
+            self._data_sharding = NamedSharding(mesh, P("data"))
 
         # Params are ARGUMENTS to the jitted fns, not closure constants:
         # closed-over arrays get serialized into the program (600MB for
@@ -80,8 +92,15 @@ class ClipEncoder:
             z = z.astype(jnp.float32)
             return z / jnp.linalg.norm(z, axis=-1, keepdims=True)
 
-        self._embed_images = lambda pixels: _embed_images_p(self.params, pixels)
-        self._embed_tokens = lambda tokens: _embed_tokens_p(self.params, tokens)
+        def _place(x):
+            x = jnp.asarray(x)
+            if self._data_sharding is not None:
+                x = jax.device_put(x, self._data_sharding)
+            return x
+
+        self._embed_images = lambda pixels: _embed_images_p(self.params, _place(pixels))
+        # text queries are tiny (often a single row) — keep them unsharded
+        self._embed_tokens = lambda tokens: _embed_tokens_p(self.params, jnp.asarray(tokens))
 
     @property
     def tokenizer(self) -> CLIPTokenizer:
@@ -94,6 +113,9 @@ class ClipEncoder:
     ) -> Tuple[np.ndarray, List[str]]:
         """Encode image files; corrupt files are silently skipped
         (reference ``cli/encode_images.py:42-43``). Returns (Z, kept_paths)."""
+        if self.mesh is not None:  # padded batch must split evenly over chips
+            n_data = self.mesh.shape["data"]
+            batch_size = -(-batch_size // n_data) * n_data
         zs: List[np.ndarray] = []
         kept: List[str] = []
         batch: List[np.ndarray] = []
@@ -140,7 +162,8 @@ class DinoEncoder:
     """DINOv2 encode path (reference ``cli/encode_images_dino.py:20-42``),
     batched instead of the reference's per-image loop."""
 
-    def __init__(self, weights_path: Optional[str] = None, cfg: DinoConfig = DINOV2_BASE, dtype=jnp.bfloat16):
+    def __init__(self, weights_path: Optional[str] = None, cfg: DinoConfig = DINOV2_BASE, dtype=jnp.bfloat16,
+                 mesh=None):
         wpath = _require(weights_path, "CLIP_CODEC_DINO_WEIGHTS", "DINOv2")
         self.cfg = cfg
         self.model = DinoV2(cfg, dtype=dtype)
@@ -153,15 +176,31 @@ class DinoEncoder:
 
             sd = torch.load(wpath, map_location="cpu", weights_only=True)
         self.params = {"params": convert_dino_hf(sd, cfg.depth)}
+        self.mesh = mesh
+        self._data_sharding = None
+        if mesh is not None:  # same DP layout as ClipEncoder
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self.params = jax.device_put(self.params, NamedSharding(mesh, P()))
+            self._data_sharding = NamedSharding(mesh, P("data"))
 
         @jax.jit
         def _embed_p(params, pixels):
             z = self.model.apply(params, pixels).astype(jnp.float32)
             return z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-9)
 
-        self._embed = lambda pixels: _embed_p(self.params, pixels)
+        def _place(x):
+            x = jnp.asarray(x)
+            if self._data_sharding is not None:
+                x = jax.device_put(x, self._data_sharding)
+            return x
+
+        self._embed = lambda pixels: _embed_p(self.params, _place(pixels))
 
     def encode_images(self, paths: Sequence[str], batch_size: int = 16) -> Tuple[np.ndarray, List[str]]:
+        if self.mesh is not None:
+            n_data = self.mesh.shape["data"]
+            batch_size = -(-batch_size // n_data) * n_data
         zs, kept, batch, bpaths = [], [], [], []
 
         def flush():

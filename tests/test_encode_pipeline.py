@@ -93,6 +93,31 @@ def test_batch_padding_invariance(tiny_encoder, tmp_path, rng):
     np.testing.assert_allclose(f_b2, f_b8, rtol=2e-5, atol=2e-6)
 
 
+def test_data_parallel_encode_matches_single(tiny_encoder, tiny_clip_ckpt, tmp_path, rng):
+    """ClipEncoder(mesh=...) row-shards each batch over the 8-device mesh
+    (params replicated); embeddings match the single-device encoder. Also
+    exercises the batch_size round-up to a mesh multiple (3 -> 8)."""
+    import jax.numpy as jnp
+
+    from clip_codec_tpu.encoders import ClipEncoder
+    from clip_codec_tpu.parallel import make_mesh
+
+    img_dir = tmp_path / "imgs_dp"
+    img_dir.mkdir()
+    paths = []
+    for i in range(5):
+        p = img_dir / f"d{i}.png"
+        Image.fromarray(rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)).save(p)
+        paths.append(str(p))
+
+    dp = ClipEncoder(weights_path=tiny_clip_ckpt, cfg=TINY_CFG, dtype=jnp.float32,
+                     mesh=make_mesh(8))
+    f_dp, kept_dp = dp.encode_images(paths, batch_size=3)  # rounds up to 8
+    f_one, kept_one = tiny_encoder.encode_images(paths, batch_size=8)
+    assert kept_dp == kept_one
+    np.testing.assert_allclose(f_dp, f_one, rtol=2e-5, atol=2e-6)
+
+
 def test_text_retrieval_flow(tiny_encoder, tmp_path, rng):
     """Tokenizer (synthetic merges) -> text tower -> IP index search."""
     merges = ["t h", "th e</w>", "c a", "ca t</w>", "d o", "do g</w>"]
