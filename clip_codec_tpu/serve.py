@@ -18,6 +18,11 @@ Endpoints:
 * ``POST /decompress_sd?guidance=5.0&seed=N&format=png|jpeg`` -> body: one
   ``.clp`` frame; reconstructs via the SD latent path. Requires
   ``--sd_artifact`` + ``--adapter`` (and the SD weight env vars).
+* ``GET  /search?q=<text>&k=10``  -> text->image retrieval over the store
+  (exact IP index over the store's embeddings; reference feature
+  ``cli/search_text.py`` as a service). Response: JSON
+  ``{"results": [{"path": ..., "score": ...}]}``. Requires CLIP weights
+  (text tower); 503 with the env-var message otherwise.
 * ``GET  /stats``                 -> per-endpoint request counts, decompress
   latency percentiles, and the micro-batcher's measured fill rate.
 
@@ -48,6 +53,7 @@ import queue
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
 from typing import Optional
 from urllib.parse import parse_qs, urlparse
 
@@ -133,8 +139,40 @@ class _MicroBatcher:
                     done.set()
 
 
+class _Searcher:
+    """Lazy text->image retrieval over the store: the feature matrix and
+    index build on first use (store decode, no weights needed); the CLIP
+    text tower is also lazy so weight-less servers still start and /search
+    returns 503 with the env-var message instead of failing at boot."""
+
+    def __init__(self, store_dir, codec: ClipCodec, lock: threading.Lock):
+        self._store_dir = Path(store_dir)
+        self._codec = codec
+        self._lock = lock
+        self._init_lock = threading.Lock()
+        self._index = None
+        self._paths = None
+
+    def search(self, text: str, k: int):
+        from .cli.search_text import load_features
+        from .index import build_index, search_index
+
+        with self._init_lock:
+            if self._index is None:
+                feats, self._paths = load_features(self._store_dir)
+                self._index = build_index(feats)
+            if self._codec.encoder is None:
+                from .encoders import ClipEncoder
+
+                self._codec.encoder = ClipEncoder()  # raises RuntimeError -> 503
+        with self._lock:
+            qvec = self._codec.encoder.encode_text(text)[0]
+            return search_index(qvec, self._index, self._paths, k=k)
+
+
 def make_handler(codec: ClipCodec, artifact=None, batcher: Optional[_MicroBatcher] = None,
-                 sd=None, lock: Optional[threading.Lock] = None):
+                 sd=None, lock: Optional[threading.Lock] = None,
+                 searcher: Optional[_Searcher] = None):
     """``artifact``: optional ``(call, params, quant)`` from an AOT-exported
     pixel decompressor — replaces the traced /decompress path (``quant`` is
     the int8 calibration sidecar, None for bf16 artifacts). ``batcher``:
@@ -234,6 +272,24 @@ def make_handler(codec: ClipCodec, artifact=None, batcher: Optional[_MicroBatche
                         "fill_rate": round(batcher.fill_rate, 4),
                     }
                 self._json(200, out)
+            elif path == "/search":
+                q = parse_qs(urlparse(self.path).query)
+                if "q" not in q or not q["q"][0]:
+                    self._json(400, {"error": "missing ?q=<text query>"})
+                    return
+                if searcher is None:
+                    self._json(503, {"error": "no store attached for search"})
+                    return
+                try:
+                    k = int(q.get("k", ["10"])[0])
+                    hits = searcher.search(q["q"][0], k=k)
+                    record("search")
+                    self._json(200, {"results": [
+                        {"path": p, "score": s} for p, s in hits]})
+                except RuntimeError as e:  # weight-gated text tower
+                    self._json(503, {"error": str(e)})
+                except Exception as e:
+                    self._json(400, {"error": f"{type(e).__name__}: {e}"})
             else:
                 self._json(404, {"error": "unknown endpoint"})
 
@@ -368,7 +424,8 @@ def serve(store_dir: str, weights: Optional[str] = None, host: str = "127.0.0.1"
                                     max_wait_ms=batch_wait_ms)
     server = _Server(
         (host, port),
-        make_handler(codec, artifact=art, batcher=batcher, sd=sd, lock=device_lock))
+        make_handler(codec, artifact=art, batcher=batcher, sd=sd, lock=device_lock,
+                     searcher=_Searcher(store_dir, codec, device_lock)))
     mode = f", artifact={artifact}" if artifact else ""
     if batcher is not None:
         mode += f", micro-batch={batcher.batch_size}"

@@ -114,6 +114,39 @@ def test_compress_gated_without_weights(server, monkeypatch):
     assert "CLIP" in json.loads(data)["error"]
 
 
+def test_search_endpoint(server, monkeypatch):
+    """GET /search: 400 without ?q=, 503 without CLIP weights, then a real
+    retrieval round-trip with the text tower stubbed (runs AFTER the
+    /compress gate test — the stub gets cached on the codec)."""
+    addr, _ = server
+    status, _, data = _request(addr, "GET", "/search")
+    assert status == 400
+
+    monkeypatch.delenv("CLIP_CODEC_CLIP_WEIGHTS", raising=False)
+    status, _, data = _request(addr, "GET", "/search?q=cat")
+    assert status == 503
+    assert "CLIP" in json.loads(data)["error"]
+
+    import clip_codec_tpu.encoders as enc
+
+    class _StubEncoder:
+        def __init__(self, **kw):
+            pass
+
+        def encode_text(self, text):
+            v = np.zeros((1, 16), np.float32)
+            v[0, 0] = 1.0
+            return v
+
+    monkeypatch.setattr(enc, "ClipEncoder", _StubEncoder)
+    status, _, data = _request(addr, "GET", "/search?q=cat&k=2")
+    assert status == 200
+    res = json.loads(data)["results"]
+    assert len(res) == 2
+    assert res[0]["score"] >= res[1]["score"]
+    assert res[0]["path"].endswith(".png")
+
+
 def test_bad_bitstream_400(server):
     addr, _ = server
     status, _, data = _request(addr, "POST", "/embed", b"garbage")
