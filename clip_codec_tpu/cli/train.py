@@ -39,6 +39,12 @@ def main() -> None:
     ap.add_argument("--device", type=str, default=default_device())
     ap.add_argument("--clip_weights", type=str, default=None,
                     help="enable the CLIP-alignment loss term with these CLIP weights")
+    ap.add_argument("--data_workers", type=int, default=0,
+                    help="host threads decoding each batch's images (the "
+                         "DataLoader-workers equivalent; 0 = synchronous)")
+    ap.add_argument("--cache_images", action="store_true",
+                    help="cache decoded images as resized uint8 in RAM so "
+                         "epochs after the first skip JPEG decode entirely")
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize ResBlocks in the backward pass (more "
                          "FLOPs, much less activation memory; for 512px+ batches)")
@@ -81,6 +87,7 @@ def main() -> None:
         ch_mult=tuple(int(c) for c in args.ch_mult.split(",")),
         bf16=not args.no_bf16, seed=args.seed, log_every=args.log_every,
         ema_decay=args.ema_decay, remat=args.remat,
+        data_workers=args.data_workers, cache_images=args.cache_images,
     )
     mesh = None
     spatial = args.spatial_shard > 1

@@ -58,6 +58,9 @@ def main() -> None:
     ap.add_argument("--ema_decay", type=float, default=0.0,
                     help="EMA of the adapter params (0=off); also writes "
                          "sd_adapter_ema_final.msgpack")
+    ap.add_argument("--data_workers", type=int, default=0,
+                    help="host threads decoding each batch's images/latents "
+                         "(DataLoader-workers equivalent; 0 = synchronous)")
     ap.add_argument("--data_parallel", action="store_true",
                     help="shard each batch over all devices (adapter+frozen params "
                          "replicated; batch_size is global)")
@@ -118,7 +121,7 @@ def main() -> None:
         lr=args.lr, timesteps=args.timesteps, recon_w=args.recon_w,
         clip_w=args.clip_w, perc_w=args.perc_w, tv_w=args.tv_w,
         perc_every=args.perc_every, seed=args.seed, log_every=args.log_every,
-        ema_decay=args.ema_decay,
+        ema_decay=args.ema_decay, data_workers=args.data_workers,
     )
     final = train_sd_diffusion(
         Path(args.store_dir), decoder,

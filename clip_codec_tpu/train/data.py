@@ -10,6 +10,17 @@ Equivalent of the reference ``StoreDataset`` + torch DataLoader
 * batches are fixed-shape: the last partial batch is padded and a weight mask
   is attached, so the jitted step never recompiles and loss averages match
   the unpadded math exactly.
+
+Host throughput levers (the flagship chip trains at ~164 img/s while one CPU
+core decodes JPEGs at ~100 img/s, so real runs are HOST-bound without them):
+
+* ``workers > 0`` decodes each batch's images on a thread pool (PIL releases
+  the GIL in decode/resize — the reference's ``DataLoader(num_workers=...)``
+  equivalent without process forks);
+* ``cache_images=True`` keeps every decoded image as resized **uint8** in RAM
+  (``out_size**2 * 3`` bytes each, ~196 KB at 256px), so epochs after the
+  first skip decode entirely. The fp32 scaling happens at batch assembly
+  either way, so cached and uncached pixels are bit-identical.
 """
 
 from __future__ import annotations
@@ -27,11 +38,18 @@ from ..io.store import Store
 PathLike = Union[str, Path]
 
 
+def load_image_u8(path: PathLike, out_size: int) -> np.ndarray:
+    """RGB image -> (H, W, 3) uint8, BICUBIC resize (reference semantics,
+    ``train/diffusion_train.py:55-57``). The uint8 form is the cache/transfer
+    format; scaling to [-1, 1] happens at batch assembly."""
+    img = Image.open(path).convert("RGB").resize((out_size, out_size), Image.BICUBIC)
+    return np.asarray(img, dtype=np.uint8)
+
+
 def load_image_m11(path: PathLike, out_size: int) -> np.ndarray:
     """RGB image -> (H, W, 3) float32 in [-1, 1], BICUBIC resize
     (reference semantics, ``train/diffusion_train.py:55-57``)."""
-    img = Image.open(path).convert("RGB").resize((out_size, out_size), Image.BICUBIC)
-    return np.asarray(img, dtype=np.float32) / 127.5 - 1.0
+    return load_image_u8(path, out_size).astype(np.float32) / 127.5 - 1.0
 
 
 @dataclass
@@ -44,11 +62,23 @@ class Batch:
 class StoreData:
     """Materialized store view feeding the train loop."""
 
-    def __init__(self, store_dir: PathLike, out_size: int = 256, manifest_name: str = "manifest.json") -> None:
+    def __init__(
+        self,
+        store_dir: PathLike,
+        out_size: int = 256,
+        manifest_name: str = "manifest.json",
+        workers: int = 0,
+        cache_images: bool = False,
+    ) -> None:
         self.store = Store.open(store_dir, manifest_name)
         self.out_size = out_size
         self.z = self.store.decode_all(renormalize=True)  # (N, D)
         self.image_paths = [rec["image"] for rec in self.store.manifest]
+        self.workers = int(workers)
+        self._pool = None  # built lazily; persistent across epochs
+        self._cache: Optional[List[Optional[np.ndarray]]] = (
+            [None] * len(self.image_paths) if cache_images else None
+        )
 
     def __len__(self) -> int:
         return len(self.image_paths)
@@ -57,8 +87,28 @@ class StoreData:
     def z_dim(self) -> int:
         return int(self.z.shape[1])
 
+    def _decode_u8(self, i: int) -> np.ndarray:
+        if self._cache is not None:
+            hit = self._cache[i]
+            if hit is not None:
+                return hit
+        arr = load_image_u8(self.image_paths[i], self.out_size)
+        if self._cache is not None:
+            self._cache[i] = arr
+        return arr
+
     def _load_images(self, idx: np.ndarray) -> np.ndarray:
-        return np.stack([load_image_m11(self.image_paths[i], self.out_size) for i in idx])
+        if self.workers > 0:
+            if self._pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._pool = ThreadPoolExecutor(max_workers=self.workers)
+            u8 = list(self._pool.map(self._decode_u8, [int(i) for i in idx]))
+        else:
+            u8 = [self._decode_u8(int(i)) for i in idx]
+        # One vectorized scale per batch (bit-identical to per-image fp32
+        # conversion: the source is uint8 either way).
+        return np.stack(u8).astype(np.float32) / 127.5 - 1.0
 
     def _epoch_sync(self, batch_size: int, rng: np.random.Generator, shuffle: bool) -> Iterator[Batch]:
         from ..utils.batching import padded_index_batches

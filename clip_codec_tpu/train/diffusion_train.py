@@ -75,6 +75,13 @@ class DiffusionTrainConfig:
     # extra forward of FLOPs for a large activation-memory cut — the lever
     # for 512px+ batches that otherwise OOM a single chip.
     remat: bool = False
+    # Host input pipeline (see train/data.py): decode threads per batch and
+    # an opt-in resized-uint8 RAM cache (~out_size^2*3 bytes per image) that
+    # makes epochs after the first decode-free. Both bit-identical to the
+    # synchronous path. The chip consumes ~164 img/s at the flagship config;
+    # one host core decodes ~100 img/s — real runs want one of these on.
+    data_workers: int = 0
+    cache_images: bool = False
 
 
 def make_train_step(
@@ -202,7 +209,8 @@ def train_diffusion(
         timesteps=timesteps, schedule=schedule, recon_w=recon_w, clip_w=clip_w, tv_w=tv_w,
     )
     save_dir = Path(save_dir or store_dir)
-    data = StoreData(store_dir, out_size=cfg.out_size)
+    data = StoreData(store_dir, out_size=cfg.out_size,
+                     workers=cfg.data_workers, cache_images=cfg.cache_images)
 
     net = CLIPCondUNet(
         z_dim=data.z_dim, base=cfg.base, ch_mult=cfg.ch_mult, img_ch=3,

@@ -81,15 +81,21 @@ class SDTrainConfig:
     # EMA of the ADAPTER params (0 = off, reference behavior); also writes
     # sd_adapter_ema_final.msgpack.
     ema_decay: float = 0.0
+    # Host decode threads per batch (see train/data.py — at 512px GT images
+    # the per-item JPEG decode + latent npz load is the step-time floor on
+    # one host core). 0 = synchronous; bit-identical either way.
+    data_workers: int = 0
 
 
 class SDStoreData:
     """Store view over ``manifest_latents.json``: (z, latent, image path)."""
 
-    def __init__(self, store_dir: PathLike, image_size: int = 512) -> None:
+    def __init__(self, store_dir: PathLike, image_size: int = 512, workers: int = 0) -> None:
         self.store = Store.open(store_dir, manifest_name="manifest_latents.json")
         self.image_size = image_size
         self.z = self.store.decode_all(renormalize=True)
+        self.workers = int(workers)
+        self._pool = None  # lazy, persistent across epochs
 
     def __len__(self) -> int:
         return len(self.store)
@@ -98,15 +104,24 @@ class SDStoreData:
     def z_dim(self) -> int:
         return int(self.z.shape[1])
 
-    def batch(self, idx: np.ndarray):
-        lats, imgs = [], []
+    def _load_item(self, i: int):
         from .data import load_image_m11
 
-        for i in idx:
-            rec = self.store.manifest[int(i)]
-            lat = np.load(rec["latent"])["lat"].astype(np.float32)  # (4, h, w) CHW fp16
-            lats.append(lat.transpose(1, 2, 0))
-            imgs.append(load_image_m11(rec["image"], self.image_size))
+        rec = self.store.manifest[int(i)]
+        lat = np.load(rec["latent"])["lat"].astype(np.float32)  # (4, h, w) CHW fp16
+        return lat.transpose(1, 2, 0), load_image_m11(rec["image"], self.image_size)
+
+    def batch(self, idx: np.ndarray):
+        if self.workers > 0:
+            if self._pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._pool = ThreadPoolExecutor(max_workers=self.workers)
+            items = list(self._pool.map(self._load_item, [int(i) for i in idx]))
+        else:
+            items = [self._load_item(int(i)) for i in idx]
+        lats = [lat for lat, _ in items]
+        imgs = [img for _, img in items]
         return self.z[idx], np.stack(lats), np.stack(imgs)
 
 
@@ -257,7 +272,7 @@ def train_sd_diffusion(
         # replace, never mutate: the caller may reuse its config object
         cfg = dataclasses.replace(cfg, out_size=int(size_override))
     save_dir = Path(save_dir or store_dir)
-    data = SDStoreData(store_dir, image_size=cfg.out_size)
+    data = SDStoreData(store_dir, image_size=cfg.out_size, workers=cfg.data_workers)
     tx = optax.adamw(cfg.lr)
     adapter_params = decoder.adapter_params
     opt_state = tx.init(adapter_params)

@@ -145,6 +145,17 @@ def test_sd_step_carries_no_large_closure_constants(tiny_decoder):
     )
 
 
+def test_sd_data_workers_equivalence(sd_store):
+    """Threaded batch assembly is bit-identical to the synchronous path."""
+    from clip_codec_tpu.train.sd_diffusion_train import SDStoreData
+
+    sync = SDStoreData(sd_store, image_size=16)
+    pooled = SDStoreData(sd_store, image_size=16, workers=3)
+    idx = np.array([3, 0, 2, 1])
+    for a, b in zip(sync.batch(idx), pooled.batch(idx)):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_sd_dp_step_matches_single_device(sd_store, tiny_decoder):
     """The SD adapter step under data parallelism equals the single-device
     step (grad psum reassociation tolerance only)."""

@@ -72,6 +72,43 @@ def test_epoch_prefetch_equivalence(tmp_path, rng):
         np.testing.assert_array_equal(ba.weight, bb.weight)
 
 
+def test_workers_and_cache_equivalence(tmp_path, rng):
+    """Threaded decode and the uint8 RAM cache are bit-identical to the
+    synchronous path, across epochs (cache hit path included)."""
+    from PIL import Image
+
+    from clip_codec_tpu.train.data import StoreData
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    paths = []
+    for i in range(5):
+        p = img_dir / f"{i}.jpg"
+        Image.fromarray(rng.integers(0, 256, (12, 9, 3), dtype=np.uint8)).save(p)
+        paths.append(str(p))
+    feats = rng.standard_normal((5, 8)).astype(np.float32)
+    scale, zero = fit_affine(feats)
+    q = np.asarray(quantize(feats, scale, zero))
+    store = tmp_path / "s"
+    write_store(store, feats, paths, np.asarray(scale), np.asarray(zero), q)
+
+    base = StoreData(store, out_size=8)
+    pooled = StoreData(store, out_size=8, workers=3)
+    cached = StoreData(store, out_size=8, cache_images=True)
+    both = StoreData(store, out_size=8, workers=2, cache_images=True)
+    for epoch_seed in (1, 2):  # epoch 2 exercises cache hits
+        ref = list(base.epoch(2, np.random.default_rng(epoch_seed)))
+        for variant in (pooled, cached, both):
+            got = list(variant.epoch(2, np.random.default_rng(epoch_seed)))
+            assert len(got) == len(ref)
+            for ba, bb in zip(ref, got):
+                np.testing.assert_array_equal(ba.x0, bb.x0)
+                np.testing.assert_array_equal(ba.z, bb.z)
+                np.testing.assert_array_equal(ba.weight, bb.weight)
+    # Cache actually populated (decode-free epochs after the first).
+    assert all(a is not None for a in cached._cache)
+
+
 def test_lazy_top_level_export():
     import clip_codec_tpu
 
