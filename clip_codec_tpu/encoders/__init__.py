@@ -44,6 +44,48 @@ def _require(path: Optional[str], env: str, what: str) -> Path:
     return Path(path)
 
 
+def _batched_encode(
+    paths: Sequence[str], preprocess, embed, batch_size: int, mesh, dim: int,
+) -> Tuple[np.ndarray, List[str]]:
+    """Shared file->embedding batching loop for both encoders: fixed-shape
+    padded device batches (one compiled program per batch size), corrupt
+    files silently skipped (reference ``cli/encode_images.py:42-43``).
+    ``preprocess(path) -> (H, W, C) array``; ``embed(pixels) -> (B, dim)``.
+    Returns (Z fp32, kept_paths)."""
+    from ..utils.batching import pad_rows
+
+    if mesh is not None:  # padded batch must split evenly over chips
+        n_data = mesh.shape["data"]
+        batch_size = -(-batch_size // n_data) * n_data
+    zs: List[np.ndarray] = []
+    kept: List[str] = []
+    batch: List[np.ndarray] = []
+    bpaths: List[str] = []
+
+    def flush():
+        if not batch:
+            return
+        x = np.stack(batch)
+        n = x.shape[0]
+        zs.append(np.asarray(embed(jnp.asarray(pad_rows(x, batch_size))))[:n])
+        kept.extend(bpaths)
+        batch.clear()
+        bpaths.clear()
+
+    for p in paths:
+        try:
+            batch.append(preprocess(p))
+            bpaths.append(str(p))
+        except Exception:
+            continue
+        if len(batch) == batch_size:
+            flush()
+    flush()
+    if not zs:
+        return np.zeros((0, dim), dtype=np.float32), []
+    return np.concatenate(zs).astype(np.float32), kept
+
+
 class ClipEncoder:
     """CLIP ViT-B/32 encode path: batched bf16 image encode + text encode,
     both emitting L2-normalized fp32 embeddings (the reference's
@@ -113,40 +155,11 @@ class ClipEncoder:
     ) -> Tuple[np.ndarray, List[str]]:
         """Encode image files; corrupt files are silently skipped
         (reference ``cli/encode_images.py:42-43``). Returns (Z, kept_paths)."""
-        if self.mesh is not None:  # padded batch must split evenly over chips
-            n_data = self.mesh.shape["data"]
-            batch_size = -(-batch_size // n_data) * n_data
-        zs: List[np.ndarray] = []
-        kept: List[str] = []
-        batch: List[np.ndarray] = []
-        bpaths: List[str] = []
-
-        def flush():
-            if not batch:
-                return
-            from ..utils.batching import pad_rows
-
-            x = np.stack(batch)
-            n = x.shape[0]
-            z = np.asarray(self._embed_images(jnp.asarray(pad_rows(x, batch_size))))[:n]
-            zs.append(z)
-            kept.extend(bpaths)
-            batch.clear()
-            bpaths.clear()
-
-        for p in paths:
-            try:
-                img = Image.open(p)
-                batch.append(preprocess_pil(img, self.cfg.image_size))
-                bpaths.append(str(p))
-            except Exception:
-                continue
-            if len(batch) == batch_size:
-                flush()
-        flush()
-        if not zs:
-            return np.zeros((0, self.cfg.embed_dim), dtype=np.float32), []
-        return np.concatenate(zs).astype(np.float32), kept
+        return _batched_encode(
+            paths,
+            lambda p: preprocess_pil(Image.open(p), self.cfg.image_size),
+            self._embed_images, batch_size, self.mesh, self.cfg.embed_dim,
+        )
 
     def encode_image_array(self, images_hwc01: np.ndarray) -> np.ndarray:
         """Encode already-loaded [0,1] uint8/float HWC images (applies CLIP
@@ -198,33 +211,10 @@ class DinoEncoder:
         self._embed = lambda pixels: _embed_p(self.params, _place(pixels))
 
     def encode_images(self, paths: Sequence[str], batch_size: int = 16) -> Tuple[np.ndarray, List[str]]:
-        if self.mesh is not None:
-            n_data = self.mesh.shape["data"]
-            batch_size = -(-batch_size // n_data) * n_data
-        zs, kept, batch, bpaths = [], [], [], []
+        def preprocess(p):
+            arr = np.asarray(Image.open(p).convert("RGB"), dtype=np.float32) / 255.0
+            return preprocess_dino(arr, self.cfg.image_size)
 
-        def flush():
-            if not batch:
-                return
-            from ..utils.batching import pad_rows
-
-            x = np.stack(batch)
-            n = x.shape[0]
-            zs.append(np.asarray(self._embed(jnp.asarray(pad_rows(x, batch_size))))[:n])
-            kept.extend(bpaths)
-            batch.clear()
-            bpaths.clear()
-
-        for p in paths:
-            try:
-                arr = np.asarray(Image.open(p).convert("RGB"), dtype=np.float32) / 255.0
-                batch.append(preprocess_dino(arr, self.cfg.image_size))
-                bpaths.append(str(p))
-            except Exception:
-                continue
-            if len(batch) == batch_size:
-                flush()
-        flush()
-        if not zs:
-            return np.zeros((0, self.cfg.dim), dtype=np.float32), []
-        return np.concatenate(zs).astype(np.float32), kept
+        return _batched_encode(
+            paths, preprocess, self._embed, batch_size, self.mesh, self.cfg.dim,
+        )

@@ -29,10 +29,13 @@ class FlatIPIndex:
 
     def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
         """(Q, D) queries -> (scores (Q, k), ids (Q, k)), descending."""
-        k = max(1, min(k, self.ntotal))
         q = jnp.asarray(queries, jnp.float32)
         if q.ndim == 1:
             q = q[None]
+        if self.ntotal == 0:  # empty store: no candidates, not a top_k crash
+            nq = int(q.shape[0])
+            return np.zeros((nq, 0), np.float32), np.zeros((nq, 0), np.int32)
+        k = max(1, min(k, self.ntotal))
         scores, ids = _search_jit(self.feats, q, k)
         return np.asarray(scores), np.asarray(ids)
 
@@ -84,10 +87,13 @@ class ShardedFlatIPIndex:
     mesh: object
 
     def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
-        k = max(1, min(k, self.ntotal))
         q = jnp.asarray(queries, jnp.float32)
         if q.ndim == 1:
             q = q[None]
+        if self.ntotal == 0:  # empty store: no candidates, not a top_k crash
+            nq = int(q.shape[0])
+            return np.zeros((nq, 0), np.float32), np.zeros((nq, 0), np.int32)
+        k = max(1, min(k, self.ntotal))
         # per-shard candidates: local top-min(k, shard) with GLOBAL row ids
         scores, ids = _sharded_candidates(self.mesh, self.feats, q, k)
         # global merge on host-sized data: (Q, k * n_shards) candidates

@@ -161,11 +161,15 @@ class _Searcher:
             if self._index is None:
                 feats, self._paths = load_features(self._store_dir)
                 self._index = build_index(feats)
+        # Encoder init must share the DEVICE lock: /compress lazily builds
+        # the same codec.encoder under it (codec.compress), and two
+        # concurrent first-requests would otherwise construct the ~600MB
+        # CLIP tower twice (double upload, leaked device buffers).
+        with self._lock:
             if self._codec.encoder is None:
                 from .encoders import ClipEncoder
 
                 self._codec.encoder = ClipEncoder()  # raises RuntimeError -> 503
-        with self._lock:
             qvec = self._codec.encoder.encode_text(text)[0]
             return search_index(qvec, self._index, self._paths, k=k)
 

@@ -52,11 +52,35 @@ def load_image_m11(path: PathLike, out_size: int) -> np.ndarray:
     return load_image_u8(path, out_size).astype(np.float32) / 127.5 - 1.0
 
 
+class LazyPool:
+    """Map a function over items, on a lazily-built persistent thread pool
+    when ``workers > 0`` (PIL/np.load release the GIL) or synchronously
+    otherwise. Shared by :class:`StoreData` and the SD trainer's store view
+    so the pool-sizing/dispatch logic exists once."""
+
+    def __init__(self, workers: int) -> None:
+        self.workers = int(workers)
+        self._pool = None
+
+    def map(self, fn, items) -> list:
+        if self.workers > 0:
+            if self._pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._pool = ThreadPoolExecutor(max_workers=self.workers)
+            return list(self._pool.map(fn, items))
+        return [fn(i) for i in items]
+
+
 @dataclass
 class Batch:
     x0: np.ndarray  # (B, H, W, 3) float32 in [-1, 1]
     z: np.ndarray  # (B, D) float32, L2-normalized
     weight: np.ndarray  # (B,) float32, 0.0 marks padding
+    # GLOBAL real-row count of this batch — equals weight.sum() except under
+    # multi-process ``local=`` slicing, where weight covers only this host's
+    # rows but epoch bookkeeping still wants the global figure.
+    wsum: float = 0.0
 
 
 class StoreData:
@@ -74,8 +98,7 @@ class StoreData:
         self.out_size = out_size
         self.z = self.store.decode_all(renormalize=True)  # (N, D)
         self.image_paths = [rec["image"] for rec in self.store.manifest]
-        self.workers = int(workers)
-        self._pool = None  # built lazily; persistent across epochs
+        self._pool = LazyPool(workers)
         self._cache: Optional[List[Optional[np.ndarray]]] = (
             [None] * len(self.image_paths) if cache_images else None
         )
@@ -98,34 +121,42 @@ class StoreData:
         return arr
 
     def _load_images(self, idx: np.ndarray) -> np.ndarray:
-        if self.workers > 0:
-            if self._pool is None:
-                from concurrent.futures import ThreadPoolExecutor
-
-                self._pool = ThreadPoolExecutor(max_workers=self.workers)
-            u8 = list(self._pool.map(self._decode_u8, [int(i) for i in idx]))
-        else:
-            u8 = [self._decode_u8(int(i)) for i in idx]
+        u8 = self._pool.map(self._decode_u8, [int(i) for i in idx])
         # One vectorized scale per batch (bit-identical to per-image fp32
         # conversion: the source is uint8 either way).
         return np.stack(u8).astype(np.float32) / 127.5 - 1.0
 
-    def _epoch_sync(self, batch_size: int, rng: np.random.Generator, shuffle: bool) -> Iterator[Batch]:
+    def _epoch_sync(
+        self, batch_size: int, rng: np.random.Generator, shuffle: bool,
+        local: Optional[tuple] = None,
+    ) -> Iterator[Batch]:
         from ..utils.batching import padded_index_batches
 
         n = len(self)
         order = rng.permutation(n) if shuffle else np.arange(n)
         for idx, w in padded_index_batches(n, batch_size, order):
-            yield Batch(x0=self._load_images(idx), z=self.z[idx], weight=w)
+            wsum = float(w.sum())
+            if local is not None:
+                lo, hi = local
+                idx, w = idx[lo:hi], w[lo:hi]
+            yield Batch(x0=self._load_images(idx), z=self.z[idx], weight=w, wsum=wsum)
 
     def epoch(
-        self, batch_size: int, rng: np.random.Generator, shuffle: bool = True, prefetch: int = 2
+        self, batch_size: int, rng: np.random.Generator, shuffle: bool = True,
+        prefetch: int = 2, local: Optional[tuple] = None,
     ) -> Iterator[Batch]:
         """Fixed-shape batches over one epoch; pads the tail with repeats and
         zero weights. ``prefetch > 0`` decodes upcoming batches on a host
         thread so PIL work overlaps device compute (the reference uses
         DataLoader workers for the same purpose, ``diffusion_train.py:101``);
-        ``prefetch=0`` is fully synchronous."""
+        ``prefetch=0`` is fully synchronous.
+
+        ``local=(lo, hi)``: multi-process data parallelism — the index order
+        and padding stay GLOBAL (identical on every process given the same
+        rng seed), but only rows ``[lo:hi)`` of each batch are decoded and
+        yielded, so a P-process run does 1/P of the host decode work instead
+        of decoding the global batch everywhere and slicing after.
+        ``Batch.wsum`` still reports the global real-row count."""
         from ..utils.batching import prefetch_iter
 
-        yield from prefetch_iter(self._epoch_sync(batch_size, rng, shuffle), prefetch)
+        yield from prefetch_iter(self._epoch_sync(batch_size, rng, shuffle, local), prefetch)

@@ -225,6 +225,7 @@ def train_diffusion(
     opt_state = tx.init(params)
 
     place_batch = lambda *arrays: tuple(jnp.asarray(a) for a in arrays)
+    epoch_local = None  # set under multi-process DP: decode only local rows
     place_state = lambda tree: tree
     if spatial and mesh is None:
         raise ValueError("spatial=True requires a mesh (make_mesh(model_parallel=k))")
@@ -246,9 +247,14 @@ def train_diffusion(
             place_state = lambda tree: replicate_global(mesh, tree)
             per_proc = cfg.batch_size // jax.process_count()
             lo = jax.process_index() * per_proc
+            # Decode only this host's rows (data.epoch local=): the global
+            # index order/padding is identical on every process (same seed),
+            # so each host JPEG-decodes 1/P of the batch instead of decoding
+            # the global batch and slicing after.
+            epoch_local = (lo, lo + per_proc)
 
-            def place_batch(*arrays):  # each process contributes its slice
-                return shard_host_batch_global(mesh, *(a[lo : lo + per_proc] for a in arrays))
+            def place_batch(*arrays):  # arrays are already this host's slice
+                return shard_host_batch_global(mesh, *arrays)
         elif spatial:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -326,7 +332,7 @@ def train_diffusion(
         clip_on = bool(ep % 2 == 0)  # reference: every other epoch (static -> two specializations)
         losses, weights = [], []
         t0 = time.time()
-        for batch in data.epoch(cfg.batch_size, data_rng):
+        for batch in data.epoch(cfg.batch_size, data_rng, local=epoch_local):
             rng, step_rng = jax.random.split(rng)
             x0_d, z_d, w_d = place_batch(batch.x0, batch.z, batch.weight)
             if use_ema:
@@ -338,7 +344,7 @@ def train_diffusion(
                     params, opt_state, x0_d, z_d, w_d, step_rng, clip_on, clip_params,
                 )
             losses.append(loss)
-            weights.append(batch.weight.sum())
+            weights.append(batch.wsum)  # global real-row count (multi-proc safe)
             step += 1
             logger.step(step, loss)
         # One host sync per epoch for metrics.

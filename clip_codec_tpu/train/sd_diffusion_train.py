@@ -91,11 +91,12 @@ class SDStoreData:
     """Store view over ``manifest_latents.json``: (z, latent, image path)."""
 
     def __init__(self, store_dir: PathLike, image_size: int = 512, workers: int = 0) -> None:
+        from .data import LazyPool
+
         self.store = Store.open(store_dir, manifest_name="manifest_latents.json")
         self.image_size = image_size
         self.z = self.store.decode_all(renormalize=True)
-        self.workers = int(workers)
-        self._pool = None  # lazy, persistent across epochs
+        self._pool = LazyPool(workers)
 
     def __len__(self) -> int:
         return len(self.store)
@@ -112,14 +113,7 @@ class SDStoreData:
         return lat.transpose(1, 2, 0), load_image_m11(rec["image"], self.image_size)
 
     def batch(self, idx: np.ndarray):
-        if self.workers > 0:
-            if self._pool is None:
-                from concurrent.futures import ThreadPoolExecutor
-
-                self._pool = ThreadPoolExecutor(max_workers=self.workers)
-            items = list(self._pool.map(self._load_item, [int(i) for i in idx]))
-        else:
-            items = [self._load_item(int(i)) for i in idx]
+        items = self._pool.map(self._load_item, [int(i) for i in idx])
         lats = [lat for lat, _ in items]
         imgs = [img for _, img in items]
         return self.z[idx], np.stack(lats), np.stack(imgs)
@@ -288,6 +282,7 @@ def train_sd_diffusion(
     )
 
     place_batch = lambda *arrays: tuple(jnp.asarray(a) for a in arrays)
+    local_sl = slice(None)  # multi-process DP narrows this to local rows
     place_state = lambda tree: tree
     if mesh is not None:
         n_data = mesh.shape["data"]
@@ -299,9 +294,13 @@ def train_sd_diffusion(
             place_state = lambda tree: replicate_global(mesh, tree)
             per_proc = cfg.batch_size // jax.process_count()
             lo = jax.process_index() * per_proc
+            # Decode only this host's rows: the global index order is
+            # identical on every process (same seed), so each host does 1/P
+            # of the latent-npz + JPEG decode work — the step-time floor.
+            local_sl = slice(lo, lo + per_proc)
 
-            def place_batch(*arrays):  # each process contributes its slice
-                return shard_host_batch_global(mesh, *(a[lo : lo + per_proc] for a in arrays))
+            def place_batch(*arrays):  # arrays are already this host's slice
+                return shard_host_batch_global(mesh, *arrays)
         else:
             from ..parallel import replicate, shard_batch
 
@@ -354,10 +353,12 @@ def train_sd_diffusion(
 
     def _epoch_batches(order):
         # npz latent reads + PIL decodes on a host thread, overlapping the
-        # ~135ms device step (prefetch_iter; same idiom as StoreData.epoch)
+        # ~135ms device step (prefetch_iter; same idiom as StoreData.epoch).
+        # Under multi-process DP only the local_sl rows are decoded; the
+        # yielded wsum stays the GLOBAL real-row count for bookkeeping.
         def gen():
             for idx, w in padded_index_batches(n, cfg.batch_size, order):
-                yield (idx, w) + data.batch(idx)
+                yield (float(w.sum()), w[local_sl]) + data.batch(idx[local_sl])
 
         from ..utils.batching import prefetch_iter
 
@@ -367,7 +368,7 @@ def train_sd_diffusion(
         order = host_rng.permutation(n)
         losses, wsums = [], []
         t0 = time.time()
-        for idx, w, z, lat0, img in _epoch_batches(order):
+        for wsum, w, z, lat0, img in _epoch_batches(order):
             rng, srng = jax.random.split(rng)
             perc_on = bool(lpips_model is not None and step % cfg.perc_every == 0)
             z_d, lat_d, img_d, w_d = place_batch(z, lat0, img, np.asarray(w))
@@ -382,7 +383,7 @@ def train_sd_diffusion(
                     z_d, lat_d, img_d, w_d, srng, perc_on,
                 )
             losses.append(loss)
-            wsums.append(w.sum())
+            wsums.append(wsum)  # global real-row count (multi-proc safe)
             step += 1
             logger.step(step, loss)
         ep_loss = float(np.average([float(l) for l in losses], weights=wsums))

@@ -127,6 +127,23 @@ def test_index_search(rng):
     assert len(res_all) == 50
 
 
+def test_empty_index_returns_empty(rng):
+    """A 0-row store yields empty results instead of a top_k crash (the
+    fresh-store /search case)."""
+    from clip_codec_tpu.index import build_index, build_sharded_index
+    from clip_codec_tpu.parallel import make_mesh
+
+    empty = np.zeros((0, 16), np.float32)
+    q = rng.standard_normal((2, 16)).astype(np.float32)
+    flat = build_index(empty)
+    s, i = flat.search(q, k=5)
+    assert s.shape == (2, 0) and i.shape == (2, 0)
+    assert search_index(q[0], flat, [], k=5) == []
+    sharded = build_sharded_index(empty, make_mesh(8))
+    s, i = sharded.search(q, k=5)
+    assert s.shape == (2, 0) and i.shape == (2, 0)
+
+
 def test_sharded_index_matches_flat(rng):
     """Row-sharded exact search over the 8-device mesh returns the same
     (scores, ids) as the single-device index — incl. a non-divisible N

@@ -109,6 +109,45 @@ def test_workers_and_cache_equivalence(tmp_path, rng):
     assert all(a is not None for a in cached._cache)
 
 
+def test_epoch_local_slicing(tmp_path, rng):
+    """``epoch(local=(lo, hi))`` (multi-process DP): the per-process slices
+    concatenate to exactly the global batch, and ``wsum`` stays global."""
+    from PIL import Image
+
+    from clip_codec_tpu.train.data import StoreData
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    paths = []
+    for i in range(5):  # 5 % 4 != 0: exercises tail padding
+        p = img_dir / f"{i}.png"
+        Image.fromarray(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)).save(p)
+        paths.append(str(p))
+    feats = rng.standard_normal((5, 8)).astype(np.float32)
+    scale, zero = fit_affine(feats)
+    q = np.asarray(quantize(feats, scale, zero))
+    store = tmp_path / "s"
+    write_store(store, feats, paths, np.asarray(scale), np.asarray(zero), q)
+
+    data = StoreData(store, out_size=8)
+    B, P = 4, 2
+    glob = list(data.epoch(B, np.random.default_rng(3)))
+    locs = [
+        list(data.epoch(B, np.random.default_rng(3), local=(p * B // P, (p + 1) * B // P)))
+        for p in range(P)
+    ]
+    assert len(glob) == len(locs[0]) == len(locs[1]) == 2
+    for bi, g in enumerate(glob):
+        np.testing.assert_array_equal(
+            g.x0, np.concatenate([locs[p][bi].x0 for p in range(P)]))
+        np.testing.assert_array_equal(
+            g.z, np.concatenate([locs[p][bi].z for p in range(P)]))
+        np.testing.assert_array_equal(
+            g.weight, np.concatenate([locs[p][bi].weight for p in range(P)]))
+        for p in range(P):
+            assert locs[p][bi].wsum == g.weight.sum()  # global, not local
+
+
 def test_lazy_top_level_export():
     import clip_codec_tpu
 
