@@ -156,6 +156,47 @@ def test_sd_data_workers_equivalence(sd_store):
         np.testing.assert_array_equal(a, b)
 
 
+def test_sd_u8_pipeline_bit_identical_to_fp32(sd_store, tiny_decoder):
+    """uint8 GT transfer + on-device scale_m11_u8 == host-scaled fp32
+    (bit-equal loss and adapter params; same step program both ways)."""
+    import optax
+
+    from clip_codec_tpu.train.data import scale_m11_u8
+    from clip_codec_tpu.train.sd_diffusion_train import (
+        SDStoreData,
+        SDTrainConfig,
+        make_sd_train_step,
+    )
+
+    cfg = SDTrainConfig(timesteps=50, out_size=16)
+    tx = optax.adamw(1e-3)
+    data = SDStoreData(sd_store, image_size=16)
+    idx = np.arange(4)
+    z, lat0, img_f32 = data.batch(idx)
+    _, _, img_u8 = data.batch(idx, u8=True)
+    assert img_u8.dtype == np.uint8
+    scaled = scale_m11_u8(jnp.asarray(img_u8))
+    np.testing.assert_array_equal(img_f32, np.asarray(scaled))  # bit-exact
+    w = np.ones((4,), np.float32)
+    rng = jax.random.PRNGKey(3)
+    step = make_sd_train_step(tiny_decoder, tx, cfg)
+    frozen = {"unet": tiny_decoder.unet_params, "vae": tiny_decoder.vae_params}
+
+    def run(img):
+        a = jax.tree_util.tree_map(
+            lambda x: jnp.array(x, copy=True), tiny_decoder.adapter_params
+        )
+        opt = tx.init(a)
+        a2, _, loss = step(a, opt, frozen, jnp.asarray(z), jnp.asarray(lat0),
+                           img, jnp.asarray(w), rng, perc_on=False)
+        return float(loss), jax.tree_util.tree_map(np.asarray, a2)
+
+    loss_a, pa = run(jnp.asarray(img_f32))
+    loss_b, pb = run(scaled)
+    assert loss_a == loss_b
+    jax.tree_util.tree_map(np.testing.assert_array_equal, pa, pb)
+
+
 def test_sd_dp_step_matches_single_device(sd_store, tiny_decoder):
     """The SD adapter step under data parallelism equals the single-device
     step (grad psum reassociation tolerance only)."""

@@ -63,6 +63,46 @@ def test_train_reconstruct_roundtrip(tiny_store, tmp_path):
     assert bool(jnp.isfinite(img).all())
 
 
+def test_u8_pipeline_bit_identical_to_fp32(rng):
+    """The uint8 transfer pipeline (raw uint8 over the link, scale_m11_u8 on
+    device) is bit-identical to the host-scaled fp32 path: the on-device
+    scale reproduces numpy's fp32 math exactly (true divide, not XLA's
+    1-ulp-off reciprocal rewrite), and the train step then runs the SAME
+    program on bit-equal inputs — loss and params bit-equal."""
+    import optax
+
+    from clip_codec_tpu.train.data import scale_m11_u8
+    from clip_codec_tpu.train.diffusion_train import make_train_step
+
+    u8 = rng.integers(0, 256, (4, 16, 16, 3), dtype=np.uint8)
+    f32 = u8.astype(np.float32) / 127.5 - 1.0
+    scaled = scale_m11_u8(jnp.asarray(u8))
+    np.testing.assert_array_equal(f32, np.asarray(scaled))  # bit-exact scale
+    assert scale_m11_u8(jnp.asarray(f32)) is not None  # float passthrough
+
+    net = CLIPCondUNet(z_dim=8, base=8, ch_mult=(1, 2), img_ch=3, dtype=jnp.float32)
+    sched = NoiseSchedule.create(timesteps=50)
+    tx = optax.adamw(1e-3)
+    step = make_train_step(net, sched, tx, DiffusionTrainConfig(bf16=False))
+    z = rng.standard_normal((4, 8)).astype(np.float32)
+    w = np.ones((4,), np.float32)
+    key = jax.random.PRNGKey(0)
+    params = net.init(jax.random.PRNGKey(1), jnp.zeros((1, 16, 16, 3)),
+                      jnp.zeros((1, 8)), jnp.zeros((1,), jnp.int32))["params"]
+
+    def run(x0):
+        p = jax.tree_util.tree_map(lambda a: jnp.array(a, copy=True), params)
+        opt = tx.init(p)
+        p2, _, loss = step(p, opt, x0, jnp.asarray(z), jnp.asarray(w),
+                           key, False, None)
+        return float(loss), jax.tree_util.tree_map(np.asarray, p2)
+
+    loss_a, pa = run(jnp.asarray(f32))
+    loss_b, pb = run(scaled)
+    assert loss_a == loss_b
+    jax.tree_util.tree_map(np.testing.assert_array_equal, pa, pb)
+
+
 def test_training_reduces_loss(tiny_store, tmp_path, capsys):
     # 6 epochs on 8 images: the eps-MSE should clearly drop from epoch 1 to 6.
     cfg = DiffusionTrainConfig(
