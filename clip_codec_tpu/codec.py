@@ -120,7 +120,7 @@ class ClipCodec:
             from .encoders import ClipEncoder
 
             self.encoder = ClipEncoder()
-        from .encoders.clip import preprocess_pil
+        from .encoders.clip import preprocess_pil_u8
 
         from .utils.batching import pad_rows
 
@@ -128,7 +128,9 @@ class ClipCodec:
             return []
         feats = []
         for s in range(0, len(images), batch_size):
-            chunk = [preprocess_pil(im, self.encoder.cfg.image_size) for im in images[s : s + batch_size]]
+            # uint8 over the link; the encoder LUT-normalizes on device
+            # (bit-identical to host preprocess_pil, 4x less transfer)
+            chunk = [preprocess_pil_u8(im, self.encoder.cfg.image_size) for im in images[s : s + batch_size]]
             x = np.stack(chunk)
             n = x.shape[0]
             feats.append(np.asarray(self.encoder._embed_images(jnp.asarray(pad_rows(x, batch_size))))[:n])

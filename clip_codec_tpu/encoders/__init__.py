@@ -23,12 +23,12 @@ import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
-from .clip import CLIPConfig, CLIPModel, VIT_B_32, preprocess_pil
+from .clip import CLIPConfig, CLIPModel, VIT_B_32, preprocess_pil, preprocess_pil_u8
 from .dino import DINOV2_BASE, DinoConfig, DinoV2, convert_dino_hf, preprocess_dino
 from .tokenizer import CLIPTokenizer
 
 __all__ = [
-    "CLIPConfig", "CLIPModel", "VIT_B_32", "preprocess_pil",
+    "CLIPConfig", "CLIPModel", "VIT_B_32", "preprocess_pil", "preprocess_pil_u8",
     "DinoConfig", "DinoV2", "DINOV2_BASE", "preprocess_dino",
     "CLIPTokenizer", "ClipEncoder", "DinoEncoder",
 ]
@@ -140,7 +140,24 @@ class ClipEncoder:
                 x = jax.device_put(x, self._data_sharding)
             return x
 
-        self._embed_images = lambda pixels: _embed_images_p(self.params, _place(pixels))
+        # uint8 pixel batches (preprocess_pil_u8) normalize ON DEVICE via a
+        # host-built LUT — bit-identical to host normalize by construction
+        # (clip_normalize_table docstring), 4x less transfer. Its own jit so
+        # the ViT program is byte-identical either way (same pattern and
+        # rationale as train.data.scale_m11_u8).
+        from .clip import clip_normalize_table
+
+        table = clip_normalize_table()  # (256, 3) fp32, 3 KB
+
+        @jax.jit
+        def _normalize_u8(x):
+            idx = x.astype(jnp.int32) * 3 + jnp.arange(3, dtype=jnp.int32)
+            return jnp.take(jnp.asarray(table).reshape(-1), idx)
+
+        def _norm(x):
+            return _normalize_u8(x) if x.dtype == jnp.uint8 else x
+
+        self._embed_images = lambda pixels: _embed_images_p(self.params, _norm(_place(pixels)))
         # text queries are tiny (often a single row) — keep them unsharded
         self._embed_tokens = lambda tokens: _embed_tokens_p(self.params, jnp.asarray(tokens))
 
@@ -157,14 +174,18 @@ class ClipEncoder:
         (reference ``cli/encode_images.py:42-43``). Returns (Z, kept_paths)."""
         return _batched_encode(
             paths,
-            lambda p: preprocess_pil(Image.open(p), self.cfg.image_size),
+            # uint8 over the link; _embed_images LUT-normalizes on device
+            # (bit-identical to host preprocess_pil, 4x less transfer)
+            lambda p: preprocess_pil_u8(Image.open(p), self.cfg.image_size),
             self._embed_images, batch_size, self.mesh, self.cfg.embed_dim,
         )
 
-    def encode_image_array(self, images_hwc01: np.ndarray) -> np.ndarray:
-        """Encode already-loaded [0,1] uint8/float HWC images (applies CLIP
-        normalize + resize via preprocess semantics is caller's duty)."""
-        return np.asarray(self._embed_images(jnp.asarray(images_hwc01)))
+    def encode_image_array(self, images_hwc: np.ndarray) -> np.ndarray:
+        """Encode already-loaded HWC images. Float inputs must be fully
+        CLIP-preprocessed (resize/crop/normalize) by the caller; **uint8**
+        inputs (``preprocess_pil_u8`` output) are mean/std-normalized on
+        device via the bit-exact LUT."""
+        return np.asarray(self._embed_images(jnp.asarray(images_hwc)))
 
     def encode_text(self, texts) -> np.ndarray:
         tokens = self.tokenizer(texts)

@@ -130,9 +130,12 @@ class CLIPModel(nn.Module):
 
 # ---------------------------------------------------------------- preprocessing
 
-def preprocess_pil(img: Image.Image, image_size: int = 224) -> np.ndarray:
-    """open_clip eval transform on host: short-side BICUBIC resize, center
-    crop, CLIP mean/std normalize -> (H, W, 3) float32."""
+def preprocess_pil_u8(img: Image.Image, image_size: int = 224) -> np.ndarray:
+    """open_clip eval transform, geometry only: short-side BICUBIC resize +
+    center crop -> (H, W, 3) **uint8**. The mean/std normalize happens either
+    on host (:func:`preprocess_pil`) or on device via the bit-exact
+    :func:`clip_normalize_table` LUT — uint8 is the transfer format (4x less
+    host->device traffic on the encode path)."""
     w, h = img.size
     # torchvision F.resize truncates the scaled long side with int(), not
     # round() — replicate exactly (1-px differences shift the crop grid).
@@ -150,7 +153,23 @@ def preprocess_pil(img: Image.Image, image_size: int = 224) -> np.ndarray:
     left = int(round((w - image_size) / 2.0))
     top = int(round((h - image_size) / 2.0))
     img = img.crop((left, top, left + image_size, top + image_size)).convert("RGB")
-    arr = np.asarray(img, dtype=np.float32) / 255.0
+    return np.asarray(img, dtype=np.uint8)
+
+
+def clip_normalize_table() -> np.ndarray:
+    """(256, 3) float32: ``table[v, c]`` is EXACTLY the host's
+    ``((v / 255.0) - CLIP_MEAN[c]) / CLIP_STD[c]`` fp32 value for every
+    possible uint8 pixel — device-side normalize gathers this instead of
+    re-deriving it arithmetically (TPU divides are not correctly-rounded
+    IEEE, measured 1 ulp off the host on most inputs)."""
+    v = (np.arange(256, dtype=np.float32) / 255.0)[:, None]  # (256, 1)
+    return ((v - CLIP_MEAN) / CLIP_STD).astype(np.float32)
+
+
+def preprocess_pil(img: Image.Image, image_size: int = 224) -> np.ndarray:
+    """open_clip eval transform on host: short-side BICUBIC resize, center
+    crop, CLIP mean/std normalize -> (H, W, 3) float32."""
+    arr = preprocess_pil_u8(img, image_size).astype(np.float32) / 255.0
     return (arr - CLIP_MEAN) / CLIP_STD
 
 

@@ -188,11 +188,13 @@ def clip_similarity_batch(orig_hwc: np.ndarray, recon_hwc: np.ndarray, encoder=N
         return np.full((orig_hwc.shape[0],), np.nan, np.float32)
     from PIL import Image
 
-    from ..encoders.clip import preprocess_pil
+    from ..encoders.clip import preprocess_pil_u8
 
     def prep(batch):
+        # uint8 over the link; the encoder LUT-normalizes on device
+        # (bit-identical to host preprocess_pil)
         return np.stack([
-            preprocess_pil(Image.fromarray(to_uint8(img)), enc.cfg.image_size)
+            preprocess_pil_u8(Image.fromarray(to_uint8(img)), enc.cfg.image_size)
             for img in batch
         ])
 
@@ -212,11 +214,11 @@ def clip_similarity(img1: np.ndarray, img2: np.ndarray, encoder=None, device: st
         return float("nan")
     from PIL import Image
 
-    from ..encoders.clip import preprocess_pil
+    from ..encoders.clip import preprocess_pil_u8
 
     def embed(img):
         pil = Image.fromarray(to_uint8(_hwc(img)))
-        x = preprocess_pil(pil, enc.cfg.image_size)[None]
+        x = preprocess_pil_u8(pil, enc.cfg.image_size)[None]
         return enc.encode_image_array(x)[0]
 
     f1, f2 = embed(img1), embed(img2)

@@ -78,6 +78,32 @@ def test_encode_images_pipeline(tiny_encoder, tmp_path, rng):
     assert np.all(cos > 0.999)
 
 
+def test_u8_encode_bit_identical_to_fp32(tiny_encoder, rng):
+    """The uint8 encode transfer (preprocess_pil_u8 + on-device LUT
+    normalize) is bit-identical to the host-normalized fp32 path: the LUT
+    reproduces host normalize exactly for every (value, channel), so the
+    ViT runs the same program on bit-equal inputs."""
+    from clip_codec_tpu.encoders.clip import (
+        CLIP_MEAN, CLIP_STD, clip_normalize_table, preprocess_pil, preprocess_pil_u8,
+    )
+
+    # table exactness over the full input domain
+    table = clip_normalize_table()
+    v = (np.arange(256, dtype=np.float32) / 255.0)[:, None]
+    np.testing.assert_array_equal(table, (v - CLIP_MEAN) / CLIP_STD)
+
+    img = Image.fromarray(rng.integers(0, 256, (40, 50, 3), dtype=np.uint8))
+    u8 = preprocess_pil_u8(img, tiny_encoder.cfg.image_size)
+    f32 = preprocess_pil(img, tiny_encoder.cfg.image_size)
+    assert u8.dtype == np.uint8
+    np.testing.assert_array_equal(
+        f32, (u8.astype(np.float32) / 255.0 - CLIP_MEAN) / CLIP_STD)
+
+    za = tiny_encoder.encode_image_array(f32[None])
+    zb = tiny_encoder.encode_image_array(u8[None])
+    np.testing.assert_array_equal(za, zb)
+
+
 def test_batch_padding_invariance(tiny_encoder, tmp_path, rng):
     """Embeddings must not depend on batch padding (fixed-shape batches pad
     the tail with zero images)."""
