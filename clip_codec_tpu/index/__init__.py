@@ -1,3 +1,4 @@
+from .ivf import IVFIndex, build_ivf_index, kmeans
 from .search import (
     FlatIPIndex,
     ShardedFlatIPIndex,
@@ -9,4 +10,5 @@ from .search import (
 __all__ = [
     "FlatIPIndex", "build_index", "search_index",
     "ShardedFlatIPIndex", "build_sharded_index",
+    "IVFIndex", "build_ivf_index", "kmeans",
 ]

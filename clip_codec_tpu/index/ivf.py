@@ -1,0 +1,217 @@
+"""IVF (inverted-file) retrieval index: clustered ANN search on device.
+
+The reference's retrieval layer is FAISS ``IndexFlatIP`` (exact,
+``index/faiss_index.py:13-31``) — our :class:`~.search.FlatIPIndex` covers
+that. FAISS's standard next step for large stores is ``IndexIVFFlat``:
+k-means-cluster the vectors into ``nlist`` inverted lists, probe only the
+``nprobe`` lists whose centroids score highest for a query. This module is
+the TPU-native equivalent:
+
+* **training** is Lloyd k-means run on device — each iteration is one
+  ``(N, nlist)`` matmul on the MXU plus a ``segment_sum`` update, jitted;
+* **storage** is a single dense ``(nlist, cap, D)`` tensor of zero-padded
+  inverted lists (static shapes — XLA-friendly; padding rows carry id −1 and
+  are masked to −inf before ranking), so
+* **search** is one jitted program: centroid matmul → ``top_k`` probe →
+  list gather → one einsum over the gathered candidates → masked ``top_k``.
+  No host-side list walking, no dynamic shapes.
+
+Semantics match FAISS IVF with ``METRIC_INNER_PRODUCT``: training minimizes
+L2 (identical ordering to cosine for the codec's L2-normalized CLIP/DINO
+embeddings), probing and scoring use inner product, and queries that probe
+fewer than ``k`` candidates pad the tail with id −1 (callers already skip
+negative ids, matching ``faiss_index.py:28-30``).
+
+Memory note: the padded layout costs ``nlist * cap * D`` floats where
+``cap`` is the LARGEST list. ``build_ivf_index`` rebalances by default
+(``max_imbalance``) by spilling overflow rows to their next-nearest
+centroid, which keeps ``cap`` within a small multiple of N/nlist while
+preserving exactness-under-full-probe (every row lives in exactly one list).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["IVFIndex", "build_ivf_index", "kmeans"]
+
+
+# ------------------------------------------------------------------ k-means
+
+
+@partial(jax.jit, donate_argnums=(1,))
+def _lloyd_step(feats: jax.Array, centroids: jax.Array):
+    """One Lloyd iteration. L2 assignment via the IP trick (feats have
+    constant norm per row as far as argmin is concerned): argmin ||x-c||^2 =
+    argmax (x.c - ||c||^2/2). Returns (new_centroids, assignments)."""
+    scores = feats @ centroids.T - 0.5 * jnp.sum(centroids * centroids, axis=1)
+    assign = jnp.argmax(scores, axis=1)  # (N,)
+    nlist = centroids.shape[0]
+    sums = jax.ops.segment_sum(feats, assign, num_segments=nlist)
+    counts = jax.ops.segment_sum(
+        jnp.ones((feats.shape[0],), jnp.float32), assign, num_segments=nlist
+    )
+    # empty cluster: keep the previous centroid (FAISS reassigns; for the
+    # codec's scale an idle centroid simply never wins a probe)
+    new = jnp.where(
+        counts[:, None] > 0, sums / jnp.maximum(counts, 1.0)[:, None], centroids
+    )
+    return new, assign
+
+
+def kmeans(
+    feats: np.ndarray, nlist: int, iters: int = 10, seed: int = 0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Plain Lloyd k-means on device. Returns (centroids (nlist, D) fp32,
+    assignments (N,) int32). Deterministic: init samples ``nlist`` distinct
+    rows with a seeded host RNG."""
+    feats = np.asarray(feats, np.float32)
+    n = feats.shape[0]
+    if nlist > n:
+        raise ValueError(f"nlist={nlist} > ntotal={n}")
+    rng = np.random.default_rng(seed)
+    init = rng.choice(n, size=nlist, replace=False)
+    cent = jnp.asarray(feats[np.sort(init)])
+    dev_feats = jnp.asarray(feats)
+    assign = None
+    for _ in range(max(1, int(iters))):
+        cent, assign = _lloyd_step(dev_feats, cent)
+    return np.asarray(cent), np.asarray(assign, np.int32)
+
+
+# ------------------------------------------------------------------- search
+
+
+@partial(jax.jit, static_argnames=("k", "nprobe"))
+def _ivf_search(centroids, lists, list_ids, q, k: int, nprobe: int):
+    cscores = q @ centroids.T                       # (Q, nlist) on the MXU
+    _, probe = jax.lax.top_k(cscores, nprobe)       # (Q, nprobe)
+    cand = lists[probe]                             # (Q, nprobe, cap, D)
+    ids = list_ids[probe]                           # (Q, nprobe, cap)
+    sims = jnp.einsum("qd,qpcd->qpc", q, cand)
+    sims = jnp.where(ids >= 0, sims, -jnp.inf)      # mask padding rows
+    qn = q.shape[0]
+    sims = sims.reshape(qn, -1)
+    ids = ids.reshape(qn, -1)
+    if sims.shape[1] < k:  # probed pool smaller than k: pad (static shapes)
+        pad = k - sims.shape[1]
+        sims = jnp.pad(sims, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+        ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+    s, j = jax.lax.top_k(sims, k)
+    return s, jnp.take_along_axis(ids, j, axis=1)
+
+
+@dataclass
+class IVFIndex:
+    """Clustered inner-product index (FAISS ``IndexIVFFlat`` analogue).
+
+    ``lists``/``list_ids`` hold every vector exactly once, bucketed by
+    nearest centroid and zero-padded to the common capacity; searching with
+    ``nprobe >= nlist`` is therefore EXACT (identical hits to
+    :class:`~.search.FlatIPIndex`).
+    """
+
+    centroids: jax.Array   # (nlist, D) fp32
+    lists: jax.Array       # (nlist, cap, D) fp32, zero-padded
+    list_ids: jax.Array    # (nlist, cap) int32, -1 = padding
+    ntotal: int
+    nprobe: int = 8        # default probe width for .search
+
+    @property
+    def nlist(self) -> int:
+        return int(self.centroids.shape[0])
+
+    def search(
+        self, queries: np.ndarray, k: int, nprobe: int | None = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """(Q, D) queries -> (scores (Q, k), ids (Q, k)) descending; ids are
+        −1 past the number of candidates the probed lists held (FAISS
+        semantics — callers skip negatives)."""
+        q = jnp.asarray(queries, jnp.float32)
+        if q.ndim == 1:
+            q = q[None]
+        if self.ntotal == 0:
+            nq = int(q.shape[0])
+            return np.zeros((nq, 0), np.float32), np.zeros((nq, 0), np.int32)
+        k = max(1, min(k, self.ntotal))
+        np_ = self.nprobe if nprobe is None else int(nprobe)
+        np_ = max(1, min(np_, self.nlist))
+        scores, ids = _ivf_search(
+            self.centroids, self.lists, self.list_ids, q, k, np_
+        )
+        return np.asarray(scores), np.asarray(ids)
+
+
+def _rebalance(
+    feats: np.ndarray, centroids: np.ndarray, assign: np.ndarray, cap: int
+) -> np.ndarray:
+    """Spill rows of over-full clusters to their next-nearest centroid with
+    room, keeping every row in exactly one list and every list <= cap."""
+    scores = feats @ centroids.T - 0.5 * np.sum(centroids**2, axis=1)
+    counts = np.bincount(assign, minlength=centroids.shape[0])
+    order = np.argsort(-scores, axis=1)  # each row's centroid preference
+    for c in np.where(counts > cap)[0]:
+        members = np.where(assign == c)[0]
+        # keep the rows that like c most; spill the rest
+        keep_rank = scores[members, c]
+        spill = members[np.argsort(-keep_rank)[cap:]]
+        for r in spill:
+            for alt in order[r]:
+                if counts[alt] < cap:
+                    assign[r] = alt
+                    counts[alt] += 1
+                    counts[c] -= 1
+                    break
+    return assign
+
+
+def build_ivf_index(
+    feats: np.ndarray,
+    nlist: int | None = None,
+    nprobe: int = 8,
+    iters: int = 10,
+    seed: int = 0,
+    max_imbalance: float = 4.0,
+) -> IVFIndex:
+    """Train k-means and bucket ``feats`` into padded inverted lists.
+
+    ``nlist`` defaults to ~sqrt(N) (FAISS guidance). ``max_imbalance`` caps
+    list capacity at ``max_imbalance * ceil(N/nlist)``; overflow rows are
+    reassigned to their next-nearest centroid (recall impact is marginal —
+    spilled rows sit near a cluster boundary by construction). Set it to
+    ``None`` to keep raw assignments (cap = largest list)."""
+    feats = np.asarray(feats, np.float32)
+    n, d = feats.shape if feats.ndim == 2 else (0, 0)
+    if n == 0:
+        z = jnp.zeros((1, max(d, 1)), jnp.float32)
+        return IVFIndex(
+            centroids=z, lists=z[:, None, :],
+            list_ids=jnp.full((1, 1), -1, jnp.int32), ntotal=0, nprobe=1,
+        )
+    if nlist is None:
+        nlist = max(1, min(n, int(round(np.sqrt(n)))))
+    nlist = max(1, min(int(nlist), n))
+    centroids, assign = kmeans(feats, nlist, iters=iters, seed=seed)
+    if max_imbalance is not None and nlist > 1:
+        cap = int(np.ceil(max_imbalance * np.ceil(n / nlist)))
+        assign = _rebalance(feats, centroids, assign.copy(), cap)
+    counts = np.bincount(assign, minlength=nlist)
+    cap = max(1, int(counts.max()))
+    lists = np.zeros((nlist, cap, d), np.float32)
+    ids = np.full((nlist, cap), -1, np.int32)
+    fill = np.zeros(nlist, np.int64)
+    for row, c in enumerate(assign):
+        lists[c, fill[c]] = feats[row]
+        ids[c, fill[c]] = row
+        fill[c] += 1
+    return IVFIndex(
+        centroids=jnp.asarray(centroids), lists=jnp.asarray(lists),
+        list_ids=jnp.asarray(ids), ntotal=n,
+        nprobe=max(1, min(int(nprobe), nlist)),
+    )

@@ -207,6 +207,14 @@ def test_search_text_cli_sharded_matches_flat(trained_store, monkeypatch, capsys
     assert flat_paths == sh_paths
     np.testing.assert_allclose(flat_scores, sh_scores, atol=1e-4)
 
+    # --ivf with nprobe=nlist is exact -> identical hits to the flat index
+    _run_cli(monkeypatch, main, ["--store_dir", str(store), "--query", "x",
+                                 "--k", "3", "--ivf", "--nlist", "2",
+                                 "--nprobe", "2"])
+    ivf_paths, ivf_scores = parse(capsys.readouterr().out)
+    assert ivf_paths == flat_paths
+    np.testing.assert_allclose(ivf_scores, flat_scores, atol=1e-4)
+
 
 def test_model_config_autopickup(trained_store, monkeypatch, tmp_path):
     """Training writes model_config.json; reconstruct CLI rebuilds the right

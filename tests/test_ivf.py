@@ -1,0 +1,127 @@
+"""IVF (clustered) retrieval index: exactness under full probe, recall,
+FAISS-compatible edge semantics. Beyond-reference surface (the reference
+ships exact IndexFlatIP only, ``index/faiss_index.py:13-31``); semantics
+mirror FAISS ``IndexIVFFlat`` + ``METRIC_INNER_PRODUCT``."""
+
+import numpy as np
+import pytest
+
+from clip_codec_tpu.index import (
+    IVFIndex,
+    build_index,
+    build_ivf_index,
+    kmeans,
+    search_index,
+)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def _unit_rows(rng, n, d):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def test_full_probe_matches_exact(rng):
+    """nprobe >= nlist probes every list -> identical hits to FlatIPIndex."""
+    feats = _unit_rows(rng, 200, 32)
+    q = _unit_rows(rng, 7, 32)
+    ivf = build_ivf_index(feats, nlist=8, iters=5)
+    flat = build_index(feats)
+    s_ref, i_ref = flat.search(q, 10)
+    s_ivf, i_ivf = ivf.search(q, 10, nprobe=ivf.nlist)
+    np.testing.assert_array_equal(i_ivf, i_ref)
+    np.testing.assert_allclose(s_ivf, s_ref, rtol=0, atol=1e-6)
+
+
+def test_partial_probe_recall(rng):
+    """Clustered unit vectors: probing a quarter of the lists keeps high
+    recall@10 (the clusters are genuinely separable by construction)."""
+    centers = _unit_rows(rng, 16, 64)
+    feats = np.repeat(centers, 64, axis=0) + 0.05 * rng.standard_normal(
+        (16 * 64, 64)
+    ).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    q = centers + 0.05 * rng.standard_normal(centers.shape).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    ivf = build_ivf_index(feats, nlist=16, nprobe=4, iters=10)
+    flat = build_index(feats)
+    _, i_ref = flat.search(q, 10)
+    _, i_ivf = ivf.search(q, 10)
+    recall = np.mean(
+        [len(set(a) & set(b)) / 10.0 for a, b in zip(i_ivf, i_ref)]
+    )
+    assert recall >= 0.9, recall
+
+
+def test_every_row_in_exactly_one_list(rng):
+    feats = _unit_rows(rng, 123, 16)
+    ivf = build_ivf_index(feats, nlist=7, iters=3)
+    ids = np.asarray(ivf.list_ids).ravel()
+    real = ids[ids >= 0]
+    assert sorted(real.tolist()) == list(range(123))
+
+
+def test_rebalance_caps_list_size(rng):
+    """All points in one blob: raw k-means would put ~everything in one
+    list; max_imbalance spills to keep cap bounded while every row stays
+    indexed and full probe stays exact."""
+    feats = 0.01 * rng.standard_normal((120, 8)).astype(np.float32)
+    feats[:, 0] += 1.0
+    ivf = build_ivf_index(feats, nlist=6, iters=4, max_imbalance=2.0)
+    cap_bound = int(2.0 * np.ceil(120 / 6))
+    assert ivf.lists.shape[1] <= cap_bound
+    ids = np.asarray(ivf.list_ids).ravel()
+    assert sorted(ids[ids >= 0].tolist()) == list(range(120))
+    flat = build_index(feats)
+    q = _unit_rows(rng, 3, 8)
+    _, i_ref = flat.search(q, 5)
+    _, i_ivf = ivf.search(q, 5, nprobe=ivf.nlist)
+    np.testing.assert_array_equal(i_ivf, i_ref)
+
+
+def test_short_lists_pad_with_minus_one(rng):
+    """k larger than the probed candidate pool -> −1 ids in the tail
+    (FAISS semantics); search_index skips them."""
+    feats = _unit_rows(rng, 30, 8)
+    ivf = build_ivf_index(feats, nlist=10, iters=3, nprobe=1)
+    q = _unit_rows(rng, 1, 8)
+    scores, ids = ivf.search(q, 20, nprobe=1)
+    assert (ids >= -1).all()
+    assert (ids == -1).any()  # one probed list can't hold 20 of 30 rows
+    paths = [f"p{i}" for i in range(30)]
+    hits = search_index(q[0], ivf, paths, k=20)
+    assert 0 < len(hits) <= 20
+    assert all(p.startswith("p") for p, _ in hits)
+
+
+def test_empty_and_tiny_stores(rng):
+    empty = build_ivf_index(np.zeros((0, 8), np.float32))
+    s, i = empty.search(_unit_rows(rng, 2, 8), 5)
+    assert s.shape == (2, 0) and i.shape == (2, 0)
+    one = build_ivf_index(_unit_rows(rng, 1, 8))
+    s, i = one.search(_unit_rows(rng, 1, 8), 5)
+    assert i.shape == (1, 1) and i[0, 0] == 0
+
+
+def test_kmeans_deterministic(rng):
+    feats = _unit_rows(rng, 64, 8)
+    c1, a1 = kmeans(feats, 4, iters=5, seed=3)
+    c2, a2 = kmeans(feats, 4, iters=5, seed=3)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(a1, a2)
+    with pytest.raises(ValueError):
+        kmeans(feats, 65)
+
+
+def test_search_index_interop(rng):
+    """search_index() accepts the IVF index interchangeably with Flat."""
+    feats = _unit_rows(rng, 50, 16)
+    ivf = build_ivf_index(feats, nlist=5, nprobe=5, iters=3)
+    paths = [f"img_{i}.png" for i in range(50)]
+    hits = search_index(feats[11], ivf, paths, k=3)
+    assert hits[0][0] == "img_11.png"
+    assert hits[0][1] == pytest.approx(1.0, abs=1e-5)
