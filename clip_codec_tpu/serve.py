@@ -145,22 +145,28 @@ class _Searcher:
     text tower is also lazy so weight-less servers still start and /search
     returns 503 with the env-var message instead of failing at boot."""
 
-    def __init__(self, store_dir, codec: ClipCodec, lock: threading.Lock):
+    def __init__(self, store_dir, codec: ClipCodec, lock: threading.Lock,
+                 ivf: bool = False, nlist: Optional[int] = None, nprobe: int = 8):
         self._store_dir = Path(store_dir)
         self._codec = codec
         self._lock = lock
         self._init_lock = threading.Lock()
         self._index = None
         self._paths = None
+        self._ivf = (ivf, nlist, nprobe)
 
     def search(self, text: str, k: int):
         from .cli.search_text import load_features
-        from .index import build_index, search_index
+        from .index import build_index, build_ivf_index, search_index
 
         with self._init_lock:
             if self._index is None:
                 feats, self._paths = load_features(self._store_dir)
-                self._index = build_index(feats)
+                use_ivf, nlist, nprobe = self._ivf
+                self._index = (
+                    build_ivf_index(feats, nlist=nlist, nprobe=nprobe)
+                    if use_ivf else build_index(feats)
+                )
         # Encoder init must share the DEVICE lock: /compress lazily builds
         # the same codec.encoder under it (codec.compress), and two
         # concurrent first-requests would otherwise construct the ~600MB
@@ -382,7 +388,8 @@ def make_handler(codec: ClipCodec, artifact=None, batcher: Optional[_MicroBatche
 def serve(store_dir: str, weights: Optional[str] = None, host: str = "127.0.0.1",
           port: int = 8700, artifact: Optional[str] = None,
           batch_wait_ms: float = 5.0, sd_artifact: Optional[str] = None,
-          adapter: Optional[str] = None):
+          adapter: Optional[str] = None, search_ivf: bool = False,
+          search_nlist: Optional[int] = None, search_nprobe: int = 8):
     codec = ClipCodec.load(store_dir, weights=weights)
     art = None
     batcher = None
@@ -429,7 +436,9 @@ def serve(store_dir: str, weights: Optional[str] = None, host: str = "127.0.0.1"
     server = _Server(
         (host, port),
         make_handler(codec, artifact=art, batcher=batcher, sd=sd, lock=device_lock,
-                     searcher=_Searcher(store_dir, codec, device_lock)))
+                     searcher=_Searcher(store_dir, codec, device_lock,
+                                        ivf=search_ivf, nlist=search_nlist,
+                                        nprobe=search_nprobe)))
     mode = f", artifact={artifact}" if artifact else ""
     if batcher is not None:
         mode += f", micro-batch={batcher.batch_size}"
@@ -522,12 +531,22 @@ def main() -> None:
                     help="trained SD adapter checkpoint (with --sd_artifact)")
     from .cli._common import add_int8_flag, apply_int8_flag
 
+    ap.add_argument("--search_ivf", action="store_true",
+                    help="serve /search from the clustered IVF index "
+                         "(FAISS IndexIVFFlat analogue) instead of exact "
+                         "search — for large stores")
+    ap.add_argument("--search_nlist", type=int, default=None,
+                    help="IVF cluster count (default ~sqrt(N))")
+    ap.add_argument("--search_nprobe", type=int, default=8,
+                    help="IVF cells probed per query")
     add_int8_flag(ap)
     args = ap.parse_args()
     apply_int8_flag(args)
     serve(args.store_dir, args.weights, args.host, args.port,
           artifact=args.artifact, batch_wait_ms=args.batch_wait_ms,
-          sd_artifact=args.sd_artifact, adapter=args.adapter).serve_forever()
+          sd_artifact=args.sd_artifact, adapter=args.adapter,
+          search_ivf=args.search_ivf, search_nlist=args.search_nlist,
+          search_nprobe=args.search_nprobe).serve_forever()
 
 
 if __name__ == "__main__":

@@ -147,6 +147,42 @@ def test_search_endpoint(server, monkeypatch):
     assert res[0]["path"].endswith(".png")
 
 
+def test_searcher_ivf_matches_flat(tmp_path, monkeypatch):
+    """_Searcher(ivf=True) with nprobe >= nlist returns the same hits as the
+    exact searcher (--search_ivf server flag plumbs to this)."""
+    import threading as _threading
+
+    import clip_codec_tpu.encoders as enc
+    from clip_codec_tpu.codec import ClipCodec
+    from clip_codec_tpu.serve import _Searcher
+
+    rng = np.random.default_rng(3)
+    feats = rng.standard_normal((12, 16)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    scale, zero = fit_affine(feats)
+    q = np.asarray(quantize(feats, scale, zero))
+    store = tmp_path / "store"
+    write_store(store, feats, [f"img{i}.png" for i in range(12)],
+                np.asarray(scale), np.asarray(zero), q)
+
+    class _StubEncoder:
+        def __init__(self, **kw):
+            pass
+
+        def encode_text(self, text):
+            return feats[5:6]
+
+    monkeypatch.setattr(enc, "ClipEncoder", _StubEncoder)
+    codec = ClipCodec.load(store)
+    lock = _threading.Lock()
+    flat = _Searcher(store, codec, lock).search("x", k=4)
+    codec2 = ClipCodec.load(store)
+    ivf = _Searcher(store, codec2, lock, ivf=True, nlist=3, nprobe=3).search("x", k=4)
+    assert [p for p, _ in ivf] == [p for p, _ in flat]
+    np.testing.assert_allclose([s for _, s in ivf], [s for _, s in flat], atol=1e-4)
+    assert flat[0][0] == "img5.png"
+
+
 def test_bad_bitstream_400(server):
     addr, _ = server
     status, _, data = _request(addr, "POST", "/embed", b"garbage")
