@@ -152,22 +152,29 @@ def _rebalance(
     feats: np.ndarray, centroids: np.ndarray, assign: np.ndarray, cap: int
 ) -> np.ndarray:
     """Spill rows of over-full clusters to their next-nearest centroid with
-    room, keeping every row in exactly one list and every list <= cap."""
-    scores = feats @ centroids.T - 0.5 * np.sum(centroids**2, axis=1)
+    room, keeping every row in exactly one list and every list <= cap.
+    Host cost is O(spill * nlist) — scores are computed only for members of
+    over-full clusters, never the full (N, nlist) matrix."""
     counts = np.bincount(assign, minlength=centroids.shape[0])
-    order = np.argsort(-scores, axis=1)  # each row's centroid preference
+    half_cn = 0.5 * np.sum(centroids**2, axis=1)
+    spill_rows = []
     for c in np.where(counts > cap)[0]:
         members = np.where(assign == c)[0]
         # keep the rows that like c most; spill the rest
-        keep_rank = scores[members, c]
+        keep_rank = feats[members] @ centroids[c] - half_cn[c]
         spill = members[np.argsort(-keep_rank)[cap:]]
-        for r in spill:
-            for alt in order[r]:
-                if counts[alt] < cap:
-                    assign[r] = alt
-                    counts[alt] += 1
-                    counts[c] -= 1
-                    break
+        counts[c] -= len(spill)
+        spill_rows.append(spill)
+    if not spill_rows:
+        return assign
+    spill = np.concatenate(spill_rows)
+    order = np.argsort(-(feats[spill] @ centroids.T - half_cn), axis=1)
+    for j, r in enumerate(spill):
+        for alt in order[j]:
+            if counts[alt] < cap:
+                assign[r] = alt
+                counts[alt] += 1
+                break
     return assign
 
 
@@ -205,11 +212,13 @@ def build_ivf_index(
     cap = max(1, int(counts.max()))
     lists = np.zeros((nlist, cap, d), np.float32)
     ids = np.full((nlist, cap), -1, np.int32)
-    fill = np.zeros(nlist, np.int64)
-    for row, c in enumerate(assign):
-        lists[c, fill[c]] = feats[row]
-        ids[c, fill[c]] = row
-        fill[c] += 1
+    # vectorized bucketing: stable-sort rows by cluster, slot = rank in run
+    row_order = np.argsort(assign, kind="stable")
+    sorted_assign = assign[row_order]
+    starts = np.searchsorted(sorted_assign, np.arange(nlist))
+    slot = np.arange(n) - starts[sorted_assign]
+    lists[sorted_assign, slot] = feats[row_order]
+    ids[sorted_assign, slot] = row_order
     return IVFIndex(
         centroids=jnp.asarray(centroids), lists=jnp.asarray(lists),
         list_ids=jnp.asarray(ids), ntotal=n,
