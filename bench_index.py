@@ -2,32 +2,73 @@
 
 Run manually (not by the driver): ``python bench_index.py``. Compares the
 exact FlatIPIndex (one (Q,N)x(N,D) matmul + top_k) against the clustered
-IVFIndex (centroid matmul -> nprobe-list gather -> einsum) at large N,
-plus k-means build time. Timing forces np.asarray materialization on the
-(Q,k) outputs — tiny, so tunnel download cost is negligible here; what
-dominates is the per-dispatch ~35ms tunnel latency, so each config is timed
-as many searches amortized per call via batched queries AND reported
-per-dispatch for the Q=1 text-query case.
+IVFIndex (centroid matmul -> nprobe-list gather -> einsum) at large N.
 
-Interpretation guide: exact search reads the full N*D matrix from HBM per
-query batch; IVF reads nlist*D centroids + nprobe*cap*D gathered rows. The
-crossover therefore scales with N/(nlist + nprobe*cap).
+Per-dispatch timing over the tunneled transport is meaningless here (the
+~35 ms dispatch latency dwarfs both searches — measured: N=1M exact and IVF
+both "cost" ~55 ms/dispatch), so ON-DEVICE cost uses the repo's in-scan
+differencing method: run L searches inside one ``lax.scan`` (distinct query
+per step so nothing hoists), time L=2 and L=12, and difference — the delta
+is 10 pure on-device searches. Expectation from the bandwidth model: exact
+search reads the full N*D matrix from HBM per query batch (2 GB at N=1M,
+d=512 -> ~2.5 ms at v5e HBM speed); IVF reads nlist centroids + the
+nprobe*cap gathered rows per query (~10 MB at nprobe=16) — the win is the
+read-volume ratio, and it grows linearly with N.
+
+Measured (v5e chip, in-scan):
+
+  N=100k: Q=1 exact 0.287 ms vs IVF 0.007 ms (40x); Q=64 exact 0.299 ms vs
+          IVF 1.155 ms (0.3x — the per-query gather re-reads rows, so batch
+          search on small stores should stay exact)
+  N=1M:   Q=1 exact 2.791 ms vs IVF 0.031 ms (91x); Q=64 4.149 vs 2.837 ms
+          (1.5x)
+
+i.e. IVF is the latency index: single text-query /search at large N is
+~HBM-read-bound on exact search (2 GB -> 2.8 ms ~ 735 GB/s) and ~free on
+IVF. Build cost: 127 s at N=1M (host bucketing + 10 on-device Lloyd
+iterations), pad overhead 1.18x.
 """
 
 import time
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from clip_codec_tpu.index import build_index, build_ivf_index
+from clip_codec_tpu.index.ivf import _ivf_search
+from clip_codec_tpu.index.search import _search_jit
 
 
-def timeit(fn, reps=20):
-    fn()  # compile
+def _scan_time(body, arrays, qs, L, reps=5):
+    """Time a scan of `body(q, *arrays)` over the first L query batches.
+    ``arrays`` ride as jit ARGUMENTS — closure-capturing the 0.2–2 GB
+    feature matrix serializes it into the program body and blows the
+    remote-compile limit (HTTP 413, measured)."""
+
+    @jax.jit
+    def run(qs_l, *arrs):
+        def step(acc, q):
+            s, _ = body(q, *arrs)
+            return acc + jnp.sum(s), None
+
+        acc, _ = jax.lax.scan(step, jnp.float32(0.0), qs_l)
+        return acc
+
+    sub = qs[:L]
+    float(run(sub, *arrays))  # compile + warm
     t0 = time.time()
     for _ in range(reps):
-        out = fn()
-    _ = np.asarray(out[0])
+        out = run(sub, *arrays)
+    float(out)
     return (time.time() - t0) / reps
+
+
+def on_device_search_ms(body, arrays, qs):
+    """10-search scan delta -> ms per search, dispatch-free."""
+    t2 = _scan_time(body, arrays, qs, 2)
+    t12 = _scan_time(body, arrays, qs, 12)
+    return (t12 - t2) / 10 * 1e3
 
 
 def main():
@@ -36,9 +77,6 @@ def main():
     for n in (100_000, 1_000_000):
         feats = rng.standard_normal((n, d), dtype=np.float32)
         feats /= np.linalg.norm(feats, axis=1, keepdims=True)
-        q = rng.standard_normal((64, d)).astype(np.float32)
-        q /= np.linalg.norm(q, axis=1, keepdims=True)
-        q1 = q[:1]
 
         flat = build_index(feats)
         t0 = time.time()
@@ -50,20 +88,28 @@ def main():
               f"(nlist={ivf.nlist}, cap={cap}, "
               f"pad overhead {ivf.nlist * cap / n:.2f}x)")
 
-        for label, qq in (("Q=64", q), ("Q=1 ", q1)):
-            t_flat = timeit(lambda: flat.search(qq, 10))
-            t_ivf = timeit(lambda: ivf.search(qq, 10))
-            _, i_ref = flat.search(qq, 10)
-            _, i_ivf = ivf.search(qq, 10)
+        for label, nq in (("Q=64", 64), ("Q=1 ", 1)):
+            qs = rng.standard_normal((12, nq, d)).astype(np.float32)
+            qs /= np.linalg.norm(qs, axis=2, keepdims=True)
+            qs = jnp.asarray(qs)
+            ms_flat = on_device_search_ms(
+                lambda q, f: _search_jit(f, q, 10), (flat.feats,), qs)
+            ms_ivf = on_device_search_ms(
+                lambda q, c, ls, ids: _ivf_search(c, ls, ids, q, 10, 16),
+                (ivf.centroids, ivf.lists, ivf.list_ids), qs)
+            # recall on this data is the ANN worst case (random isotropic
+            # vectors have no cluster structure); report it for honesty
+            q0 = np.asarray(qs[0])
+            _, i_ref = flat.search(q0, 10)
+            _, i_ivf = ivf.search(q0, 10)
             recall = np.mean([
                 len(set(a.tolist()) & set(b.tolist())) / 10.0
                 for a, b in zip(i_ivf, i_ref)
             ])
-            print(f"  {label} exact {t_flat*1e3:7.2f} ms | "
-                  f"ivf(nprobe=16) {t_ivf*1e3:7.2f} ms | "
-                  f"{t_flat/t_ivf:4.1f}x | recall@10 {recall:.2f} "
-                  f"(random isotropic vectors = ANN worst case; "
-                  f"clustered real embeddings recall far higher)")
+            print(f"  {label} on-device: exact {ms_flat:7.3f} ms | "
+                  f"ivf(nprobe=16) {ms_ivf:7.3f} ms | "
+                  f"{ms_flat/ms_ivf:5.1f}x | recall@10 {recall:.2f} "
+                  f"(isotropic-random = worst case)")
 
 
 if __name__ == "__main__":
