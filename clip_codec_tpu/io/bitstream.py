@@ -42,12 +42,42 @@ def compress_frame(q_bytes: bytes) -> bytes:
     return MAGIC + struct.pack("<I", len(comp)) + comp
 
 
-def decompress_frame(data: bytes) -> np.ndarray:
-    """Parse one framed ``.clp`` record from bytes into a uint8 vector."""
+# Decompressed frames hold one uint8 embedding vector (512-768 bytes in
+# practice); 16 MiB is orders of magnitude above any real dim while bounding
+# what a crafted frame can make the host allocate (zstd's header declares
+# the content size — an 80-byte frame may otherwise claim gigabytes). The
+# reference reader has no such guard (``io/bitstream.py:29-34``); this only
+# changes behavior for malicious input.
+MAX_FRAME_BYTES = 16 << 20
+
+
+def decompress_frame(data: bytes, max_output: int = MAX_FRAME_BYTES) -> np.ndarray:
+    """Parse one framed ``.clp`` record from bytes into a uint8 vector.
+
+    Raises ``ValueError`` on bad magic or a truncated header, and
+    ``zstandard.ZstdError`` if the payload is corrupt or would decompress
+    past ``max_output`` (decompression-bomb guard for untrusted frames,
+    e.g. the HTTP serving path).
+    """
     if data[:4] != MAGIC:
         raise ValueError("Bad magic")
+    if len(data) < 8:
+        raise ValueError("Truncated frame header")
     (ln,) = struct.unpack("<I", data[4:8])
-    raw = zstd.ZstdDecompressor().decompress(data[8 : 8 + ln])
+    payload = data[8 : 8 + ln]
+    # zstandard's max_output_size only bounds UNKNOWN-size frames; a frame
+    # that declares a huge content size in its header is allocated as
+    # declared (probed), so check the declaration ourselves.
+    try:
+        declared = zstd.get_frame_parameters(payload).content_size
+    except zstd.ZstdError:
+        declared = 0  # not a zstd frame: let decompress() raise its error
+    if declared > max_output:
+        raise zstd.ZstdError(
+            f"frame declares {declared} bytes, over the {max_output}-byte "
+            f"decompression-bomb guard"
+        )
+    raw = zstd.ZstdDecompressor().decompress(payload, max_output_size=max_output)
     return np.frombuffer(raw, dtype=np.uint8)
 
 

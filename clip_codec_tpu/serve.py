@@ -63,6 +63,15 @@ from PIL import Image
 from .codec import ClipCodec
 
 
+_MAX_BODY_BYTES = 64 << 20
+
+
+class _BodyTooLarge(ValueError):
+    def __init__(self, n: int):
+        super().__init__(f"request body {n} bytes exceeds the "
+                         f"{_MAX_BODY_BYTES}-byte limit")
+
+
 class _Server(ThreadingHTTPServer):
     """ThreadingHTTPServer with a real accept backlog: the TCPServer default
     (request_queue_size=5) resets connections when more than a handful of
@@ -215,7 +224,13 @@ def make_handler(codec: ClipCodec, artifact=None, batcher: Optional[_MicroBatche
             self._send(code, json.dumps(obj).encode(), "application/json")
 
         def _body(self) -> bytes:
+            """Read the request body, bounded: a client declaring a huge
+            Content-Length must not buffer gigabytes into server RAM.
+            64 MiB covers any real /compress image; raises ValueError
+            (mapped to 413 by callers) past it."""
             n = int(self.headers.get("Content-Length", 0))
+            if n > _MAX_BODY_BYTES:
+                raise _BodyTooLarge(n)
             return self.rfile.read(n)
 
         def _check_format(self, q) -> bool:
@@ -374,6 +389,8 @@ def make_handler(codec: ClipCodec, artifact=None, batcher: Optional[_MicroBatche
                     self._send_image(img, q)
                 else:
                     self._json(404, {"error": "unknown endpoint"})
+            except _BodyTooLarge as e:
+                self._json(413, {"error": str(e)})
             except RuntimeError as e:  # weight-gated paths
                 self._json(503, {"error": str(e)})
             except Exception as e:

@@ -107,3 +107,31 @@ def test_length_field_beyond_eof_tolerated(tmp_path, rng):
     p = tmp_path / "lie.clp"
     p.write_bytes(bytes(full))
     np.testing.assert_array_equal(read_bitstream(p), q)
+
+
+def test_decompression_bomb_guard(rng):
+    """A tiny frame whose zstd header declares a huge content size must not
+    make the host allocate it (untrusted input reaches decompress_frame via
+    the HTTP serving path). 64 MiB of zeros compresses to ~100 bytes; the
+    default 16 MiB output cap rejects it at parse time."""
+    import zstandard as zstd
+
+    from clip_codec_tpu.io.bitstream import decompress_frame
+
+    bomb = compress_frame(b"\x00" * (64 << 20))
+    assert len(bomb) < 10_000  # the attack premise: tiny wire size
+    with pytest.raises(zstd.ZstdError):
+        decompress_frame(bomb)
+    # explicit opt-out for trusted bulk paths still works
+    out = decompress_frame(bomb, max_output=(64 << 20))
+    assert out.shape == (64 << 20,)
+    # legit frames (hundreds of bytes) are far below the cap
+    q = rng.integers(0, 256, size=768, dtype=np.uint8)
+    np.testing.assert_array_equal(decompress_frame(compress_frame(q.tobytes())), q)
+
+
+def test_truncated_header_is_valueerror():
+    from clip_codec_tpu.io.bitstream import decompress_frame
+
+    with pytest.raises(ValueError):
+        decompress_frame(b"CLPF\x01")  # magic ok, length field truncated

@@ -190,6 +190,32 @@ def test_bad_bitstream_400(server):
     assert "error" in json.loads(data)
 
 
+def test_oversized_body_413(server):
+    """A client declaring a huge Content-Length gets 413 before the server
+    buffers anything (RAM-exhaustion guard)."""
+    addr, _ = server
+    conn = http.client.HTTPConnection(*addr, timeout=120)
+    conn.putrequest("POST", "/embed")
+    conn.putheader("Content-Length", str(1 << 31))
+    conn.endheaders()
+    resp = conn.getresponse()
+    data = resp.read()
+    conn.close()
+    assert resp.status == 413
+    assert "limit" in json.loads(data)["error"]
+
+
+def test_decompression_bomb_400(server):
+    """A tiny .clp frame declaring a 64 MiB payload is rejected by the
+    bitstream layer's bomb guard and surfaces as a client error."""
+    addr, _ = server
+    bomb = compress_frame(b"\x00" * (64 << 20))
+    assert len(bomb) < 10_000
+    status, _, data = _request(addr, "POST", "/embed", bomb)
+    assert status == 400
+    assert "bomb" in json.loads(data)["error"]
+
+
 def test_unknown_endpoint_404(server):
     addr, _ = server
     status, _, _ = _request(addr, "POST", "/nope", b"")
