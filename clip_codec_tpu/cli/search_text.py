@@ -1,8 +1,17 @@
-"""Text -> image retrieval over the compressed store.
+"""Text/image -> image retrieval over the compressed store.
 
 Flag-compatible with the reference (``cli/search_text.py:45-51``):
 ``--store_dir --query --k --use_gpu``. Output format matches: one
 ``score\\tpath`` line per hit.
+
+Image queries: the reference *intends* image-to-image search — it ships an
+``encode_image_to_vec`` helper — but it is dead code that crashes when
+called (missing PIL import, never wired to a flag;
+``cli/search_text.py:24-28``). Here it works: ``--query_image <path>``
+CLIP-encodes the image (weight-gated), and ``--query_clp <frame.clp>``
+dequantizes an existing compressed frame against the store's codec meta —
+no weights needed, so similar-image lookup runs on the 520-byte bitstream
+alone. Exactly one of the three query flags must be given.
 
 Reference behaviors kept: features come from ``decoded.npy`` when present
 (the reference *requires* it — its in-file bitstream path is dead placeholder
@@ -38,9 +47,16 @@ def load_features(store_dir: Path):
 
 
 def main() -> None:
-    ap = argparse.ArgumentParser(description="Search images with a text query against an exact IP index.")
+    ap = argparse.ArgumentParser(description="Search images with a text or image query against an exact IP index.")
     ap.add_argument("--store_dir", type=str, required=True)
-    ap.add_argument("--query", type=str, required=True)
+    qgroup = ap.add_mutually_exclusive_group(required=True)
+    qgroup.add_argument("--query", type=str, default=None, help="text query (CLIP text tower)")
+    qgroup.add_argument("--query_image", type=str, default=None,
+                        help="image file to use as the query (CLIP image tower)")
+    qgroup.add_argument("--query_clp", type=str, default=None,
+                        help="existing .clp frame to use as the query — "
+                             "dequantized against the store's codec meta, "
+                             "no weights needed")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--use_gpu", action="store_true")  # accepted for parity; placement is JAX's
     ap.add_argument("--data_parallel", action="store_true",
@@ -60,7 +76,6 @@ def main() -> None:
     ap.add_argument("--bpe", type=str, default=None)
     args = ap.parse_args()
 
-    from ..encoders import ClipEncoder
     from ..index import build_index, build_ivf_index, build_sharded_index, search_index
 
     store_dir = Path(args.store_dir)
@@ -73,8 +88,27 @@ def main() -> None:
         idx = build_ivf_index(feats, nlist=args.nlist, nprobe=args.nprobe)
     else:
         idx = build_index(feats, use_gpu=args.use_gpu)
-    encoder = ClipEncoder(weights_path=args.weights, bpe_path=args.bpe)
-    qvec = encoder.encode_text(args.query)[0]
+
+    if args.query_clp is not None:
+        from ..codecs.quantizer import dequantize_l2norm_host
+        from ..io.bitstream import decompress_frame
+
+        meta = np.load(store_dir / "codec_meta.npz")
+        q = decompress_frame(Path(args.query_clp).read_bytes())
+        qvec = dequantize_l2norm_host(q[None, :], meta["scale"], meta["zero"])[0]
+    elif args.query_image is not None:
+        from ..encoders import ClipEncoder
+
+        encoder = ClipEncoder(weights_path=args.weights, bpe_path=args.bpe)
+        z, kept = encoder.encode_images([args.query_image], verbose=False)
+        if not kept:
+            raise SystemExit(f"could not read query image {args.query_image!r}")
+        qvec = z[0]
+    else:
+        from ..encoders import ClipEncoder
+
+        encoder = ClipEncoder(weights_path=args.weights, bpe_path=args.bpe)
+        qvec = encoder.encode_text(args.query)[0]
     for p, s in search_index(qvec, idx, paths, k=args.k):
         print(f"{s:.4f}\t{p}")
 

@@ -155,12 +155,12 @@ class ClipCodec:
         (CLAUDE.md), which staggered request arrivals past the micro-batcher's
         gather window and collapsed serving batches to ~1 real row each
         (measured: 1.13 img/s e2e vs 12.4 on-chip)."""
+        from .codecs.quantizer import dequantize_l2norm_host
+
         if len(blobs) == 0:
             return np.zeros((0, self.dim), np.float32)
         q = np.stack([decompress_frame(b) for b in blobs])
-        x = q.astype(np.float32) * np.asarray(self.scale) + np.asarray(self.zero)
-        n = np.linalg.norm(x, axis=-1, keepdims=True)
-        return x / np.maximum(n, 1e-9)
+        return dequantize_l2norm_host(q, np.asarray(self.scale), np.asarray(self.zero))
 
     def decompress(
         self, blobs: Sequence[bytes], size: int = 256, steps: int = 50, eta: float = 0.0,

@@ -1,3 +1,10 @@
-from .quantizer import PerChannelAffineQuantizer, fit_affine, quantize, dequantize
+from .quantizer import (
+    PerChannelAffineQuantizer,
+    dequantize,
+    dequantize_l2norm_host,
+    fit_affine,
+    quantize,
+)
 
-__all__ = ["PerChannelAffineQuantizer", "fit_affine", "quantize", "dequantize"]
+__all__ = ["PerChannelAffineQuantizer", "fit_affine", "quantize", "dequantize",
+           "dequantize_l2norm_host"]

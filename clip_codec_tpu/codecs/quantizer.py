@@ -77,6 +77,17 @@ def dequantize_l2norm(q: jax.Array, scale: jax.Array, zero: jax.Array, eps: floa
     return x / jnp.maximum(n, eps)
 
 
+def dequantize_l2norm_host(q: np.ndarray, scale: np.ndarray, zero: np.ndarray,
+                           eps: float = 1e-9) -> np.ndarray:
+    """Pure-numpy :func:`dequantize_l2norm` — for serving/CLI hot paths where
+    a tiny jitted dispatch costs ~35 ms of tunnel latency (CLAUDE.md). Same
+    fp32 math; used by ``ClipCodec.decode_embeddings_host`` and the
+    ``search_text --query_clp`` image-query path."""
+    x = np.asarray(q).astype(np.float32) * np.asarray(scale) + np.asarray(zero)
+    n = np.linalg.norm(x, axis=-1, keepdims=True)
+    return x / np.maximum(n, eps)
+
+
 @dataclass
 class PerChannelAffineQuantizer:
     """Stateful wrapper mirroring the reference class API (fit/encode/decode)."""

@@ -23,6 +23,11 @@ Endpoints:
   ``cli/search_text.py`` as a service). Response: JSON
   ``{"results": [{"path": ..., "score": ...}]}``. Requires CLIP weights
   (text tower); 503 with the env-var message otherwise.
+* ``POST /search_image?k=10``     -> image->image retrieval: body is either
+  a ``.clp`` frame (dequantized on host — no weights needed) or raw image
+  bytes (CLIP-encoded, weight-gated). Same JSON response as ``/search``.
+  The reference intends this capability but its ``encode_image_to_vec``
+  helper is dead code that crashes when called (``cli/search_text.py:24-28``).
 * ``GET  /stats``                 -> per-endpoint request counts, decompress
   latency percentiles, and the micro-batcher's measured fill rate.
 
@@ -164,9 +169,9 @@ class _Searcher:
         self._paths = None
         self._ivf = (ivf, nlist, nprobe)
 
-    def search(self, text: str, k: int):
+    def _ensure_index(self):
         from .cli.search_text import load_features
-        from .index import build_index, build_ivf_index, search_index
+        from .index import build_index, build_ivf_index
 
         with self._init_lock:
             if self._index is None:
@@ -176,16 +181,45 @@ class _Searcher:
                     build_ivf_index(feats, nlist=nlist, nprobe=nprobe)
                     if use_ivf else build_index(feats)
                 )
-        # Encoder init must share the DEVICE lock: /compress lazily builds
-        # the same codec.encoder under it (codec.compress), and two
-        # concurrent first-requests would otherwise construct the ~600MB
-        # CLIP tower twice (double upload, leaked device buffers).
-        with self._lock:
-            if self._codec.encoder is None:
-                from .encoders import ClipEncoder
 
-                self._codec.encoder = ClipEncoder()  # raises RuntimeError -> 503
+    def _ensure_encoder(self):
+        """Caller must hold the DEVICE lock: /compress lazily builds the same
+        codec.encoder under it (codec.compress), and two concurrent
+        first-requests would otherwise construct the ~600MB CLIP tower twice
+        (double upload, leaked device buffers)."""
+        if self._codec.encoder is None:
+            from .encoders import ClipEncoder
+
+            self._codec.encoder = ClipEncoder()  # raises RuntimeError -> 503
+
+    def search(self, text: str, k: int):
+        from .index import search_index
+
+        self._ensure_index()
+        with self._lock:
+            self._ensure_encoder()
             qvec = self._codec.encoder.encode_text(text)[0]
+            return search_index(qvec, self._index, self._paths, k=k)
+
+    def search_image(self, body: bytes, k: int):
+        """Image->image retrieval: body is either a ``.clp`` frame (CLPF
+        magic — dequantized on host, NO weights needed) or raw image bytes
+        (CLIP-encoded, weight-gated like /compress)."""
+        from .io.bitstream import MAGIC
+        from .index import search_index
+
+        self._ensure_index()
+        if body[:4] == MAGIC:
+            qvec = self._codec.decode_embeddings_host([body])[0]
+            with self._lock:
+                return search_index(qvec, self._index, self._paths, k=k)
+        from .encoders.clip import preprocess_pil_u8
+
+        img = Image.open(io.BytesIO(body))  # PIL error -> 400 via handler
+        with self._lock:
+            self._ensure_encoder()
+            x = preprocess_pil_u8(img, self._codec.encoder.cfg.image_size)
+            qvec = self._codec.encoder.encode_image_array(x[None])[0]
             return search_index(qvec, self._index, self._paths, k=k)
 
 
@@ -333,6 +367,15 @@ def make_handler(codec: ClipCodec, artifact=None, batcher: Optional[_MicroBatche
                         z = codec.decode_embeddings([self._body()])[0]
                     record("embed")
                     self._json(200, {"embedding": [float(v) for v in z]})
+                elif url.path == "/search_image":
+                    if searcher is None:
+                        self._json(503, {"error": "no store attached for search"})
+                        return
+                    k = int(q.get("k", ["10"])[0])
+                    hits = searcher.search_image(self._body(), k=k)
+                    record("search_image")
+                    self._json(200, {"results": [
+                        {"path": p, "score": s} for p, s in hits]})
                 elif url.path == "/decompress":
                     t0 = time.monotonic()
                     if not self._check_format(q):

@@ -216,6 +216,56 @@ def test_search_text_cli_sharded_matches_flat(trained_store, monkeypatch, capsys
     np.testing.assert_allclose(ivf_scores, flat_scores, atol=1e-4)
 
 
+def test_search_cli_query_clp(trained_store, monkeypatch, capsys):
+    """--query_clp: image->image search from a compressed frame alone — no
+    CLIP weights involved. The frame's own store row is the top hit. (The
+    reference's image-query helper is dead code that crashes when called,
+    cli/search_text.py:24-28.)"""
+    from clip_codec_tpu.cli.search_text import main
+
+    store, ckpt, tmp = trained_store
+    _run_cli(monkeypatch, main, ["--store_dir", str(store),
+                                 "--query_clp", str(store / "im2.clp"),
+                                 "--k", "2"])
+    rows = [ln.split("\t") for ln in capsys.readouterr().out.strip().splitlines()]
+    assert rows[0][1].endswith("im2.png")
+    assert float(rows[0][0]) > 0.99
+
+
+def test_search_cli_query_image(trained_store, monkeypatch, capsys):
+    """--query_image routes through ClipEncoder.encode_images (stubbed to a
+    known store vector); exactly one query flag is enforced by argparse."""
+    import clip_codec_tpu.encoders as encoders_mod
+    from clip_codec_tpu.cli.search_text import main
+
+    store, ckpt, tmp = trained_store
+    with open(store / "manifest.json", "r", encoding="utf-8") as f:
+        img_path = json.load(f)[3]["image"]
+
+    from clip_codec_tpu.io.store import Store
+
+    feats = Store.open(store).decode_all(renormalize=True)
+
+    class _StubEncoder:
+        def __init__(self, **kw):
+            pass
+
+        def encode_images(self, paths, verbose=True):
+            assert list(paths) == [img_path]
+            return feats[3:4], [img_path]
+
+    monkeypatch.setattr(encoders_mod, "ClipEncoder", _StubEncoder)
+    _run_cli(monkeypatch, main, ["--store_dir", str(store),
+                                 "--query_image", img_path, "--k", "1"])
+    rows = [ln.split("\t") for ln in capsys.readouterr().out.strip().splitlines()]
+    assert rows[0][1].endswith("im3.png")
+    assert float(rows[0][0]) > 0.999
+
+    with pytest.raises(SystemExit):  # --query and --query_image are exclusive
+        _run_cli(monkeypatch, main, ["--store_dir", str(store), "--query", "x",
+                                     "--query_image", img_path])
+
+
 def test_model_config_autopickup(trained_store, monkeypatch, tmp_path):
     """Training writes model_config.json; reconstruct CLI rebuilds the right
     model without --base/--ch_mult flags (the reference silently mismatches)."""

@@ -183,6 +183,67 @@ def test_searcher_ivf_matches_flat(tmp_path, monkeypatch):
     assert flat[0][0] == "img5.png"
 
 
+def test_search_image_clp_endpoint(server):
+    """POST /search_image with a .clp frame body: weight-free image->image
+    retrieval — the dequantized query's nearest store row is itself. (The
+    reference intends this capability but its encode_image_to_vec helper is
+    dead code that crashes when called, cli/search_text.py:24-28.)"""
+    addr, q = server
+    blob = compress_frame(q[1].tobytes())
+    status, _, data = _request(addr, "POST", "/search_image?k=3", blob)
+    assert status == 200
+    res = json.loads(data)["results"]
+    assert len(res) == 3
+    assert res[0]["path"].endswith("1.png")
+    assert res[0]["score"] > 0.99
+    assert res[0]["score"] >= res[1]["score"] >= res[2]["score"]
+    # body that is neither a .clp frame nor a decodable image -> 400
+    status, _, data = _request(addr, "POST", "/search_image", b"not an image")
+    assert status == 400
+
+
+def test_searcher_raw_image_query(tmp_path, monkeypatch):
+    """_Searcher.search_image with raw image bytes routes through the CLIP
+    image tower: preprocess_pil_u8 geometry + encode_image_array (stubbed to
+    return a known store row)."""
+    import io as _io
+    import threading as _threading
+    from types import SimpleNamespace
+
+    import clip_codec_tpu.encoders as enc
+    from clip_codec_tpu.codec import ClipCodec
+    from clip_codec_tpu.serve import _Searcher
+
+    rng = np.random.default_rng(4)
+    feats = rng.standard_normal((6, 16)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    scale, zero = fit_affine(feats)
+    q = np.asarray(quantize(feats, scale, zero))
+    store = tmp_path / "store"
+    write_store(store, feats, [f"img{i}.png" for i in range(6)],
+                np.asarray(scale), np.asarray(zero), q)
+
+    seen = {}
+
+    class _StubImgEncoder:
+        cfg = SimpleNamespace(image_size=32)
+
+        def __init__(self, **kw):
+            pass
+
+        def encode_image_array(self, x):
+            seen["shape"], seen["dtype"] = x.shape, x.dtype
+            return feats[4:5]
+
+    monkeypatch.setattr(enc, "ClipEncoder", _StubImgEncoder)
+    buf = _io.BytesIO()
+    Image.fromarray(np.zeros((20, 40, 3), np.uint8)).save(buf, format="PNG")
+    hits = _Searcher(store, ClipCodec.load(store),
+                     _threading.Lock()).search_image(buf.getvalue(), k=2)
+    assert hits[0][0] == "img4.png"
+    assert seen["shape"] == (1, 32, 32, 3) and seen["dtype"] == np.uint8
+
+
 def test_bad_bitstream_400(server):
     addr, _ = server
     status, _, data = _request(addr, "POST", "/embed", b"garbage")
