@@ -46,6 +46,16 @@ def load_features(store_dir: Path):
     return Store.open(store_dir).decode_all(renormalize=True), paths
 
 
+def load_codes(store_dir: Path):
+    """Raw uint8 codes + codec meta + image paths — the input for the
+    uint8-resident index (``--u8``). The store's ``.clp`` frames are the
+    source of truth here, so any ``decoded.npy`` cache is ignored."""
+    from ..io.store import Store
+
+    st = Store.open(store_dir)
+    return st.read_codes(), st.scale, st.zero, [r["image"] for r in st.manifest]
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description="Search images with a text or image query against an exact IP index.")
     ap.add_argument("--store_dir", type=str, required=True)
@@ -72,21 +82,43 @@ def main() -> None:
     ap.add_argument("--nprobe", type=int, default=8,
                     help="IVF cells probed per query (higher = better "
                          "recall; nprobe >= nlist is exact)")
+    ap.add_argument("--u8", action="store_true",
+                    help="keep the store's uint8 codes resident on device "
+                         "and search them directly (dequantize folded into "
+                         "the dot) — 4x less HBM footprint/traffic than the "
+                         "fp32 matrix, same hits; composes with "
+                         "--data_parallel and --ivf")
     ap.add_argument("--weights", type=str, default=None)
     ap.add_argument("--bpe", type=str, default=None)
     args = ap.parse_args()
 
-    from ..index import build_index, build_ivf_index, build_sharded_index, search_index
+    from ..index import (
+        build_index, build_index_u8, build_ivf_index, build_ivf_index_u8,
+        build_sharded_index, build_sharded_index_u8, search_index,
+    )
 
     store_dir = Path(args.store_dir)
-    feats, paths = load_features(store_dir)
-    if args.data_parallel:
+    if args.u8:
+        codes, scale, zero, paths = load_codes(store_dir)
+        if args.ivf:
+            idx = build_ivf_index_u8(codes, scale, zero,
+                                     nlist=args.nlist, nprobe=args.nprobe)
+        elif args.data_parallel:
+            from ..parallel import make_mesh
+
+            idx = build_sharded_index_u8(codes, scale, zero, make_mesh())
+        else:
+            idx = build_index_u8(codes, scale, zero)
+    elif args.data_parallel:
         from ..parallel import make_mesh
 
+        feats, paths = load_features(store_dir)
         idx = build_sharded_index(feats, make_mesh())
     elif args.ivf:
+        feats, paths = load_features(store_dir)
         idx = build_ivf_index(feats, nlist=args.nlist, nprobe=args.nprobe)
     else:
+        feats, paths = load_features(store_dir)
         idx = build_index(feats, use_gpu=args.use_gpu)
 
     if args.query_clp is not None:

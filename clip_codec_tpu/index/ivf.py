@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["IVFIndex", "build_ivf_index", "kmeans"]
+__all__ = ["IVFIndex", "build_ivf_index", "build_ivf_index_u8", "kmeans"]
 
 
 # ------------------------------------------------------------------ k-means
@@ -88,6 +88,21 @@ def kmeans(
 # ------------------------------------------------------------------- search
 
 
+def _rank_candidates(sims, ids, k: int):
+    """Mask padding rows, flatten the probed pool, top-k with −1 id padding
+    when the pool is smaller than k (static shapes throughout)."""
+    sims = jnp.where(ids >= 0, sims, -jnp.inf)
+    qn = sims.shape[0]
+    sims = sims.reshape(qn, -1)
+    ids = ids.reshape(qn, -1)
+    if sims.shape[1] < k:
+        pad = k - sims.shape[1]
+        sims = jnp.pad(sims, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+        ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+    s, j = jax.lax.top_k(sims, k)
+    return s, jnp.take_along_axis(ids, j, axis=1)
+
+
 @partial(jax.jit, static_argnames=("k", "nprobe"))
 def _ivf_search(centroids, lists, list_ids, q, k: int, nprobe: int):
     cscores = q @ centroids.T                       # (Q, nlist) on the MXU
@@ -95,16 +110,26 @@ def _ivf_search(centroids, lists, list_ids, q, k: int, nprobe: int):
     cand = lists[probe]                             # (Q, nprobe, cap, D)
     ids = list_ids[probe]                           # (Q, nprobe, cap)
     sims = jnp.einsum("qd,qpcd->qpc", q, cand)
-    sims = jnp.where(ids >= 0, sims, -jnp.inf)      # mask padding rows
-    qn = q.shape[0]
-    sims = sims.reshape(qn, -1)
-    ids = ids.reshape(qn, -1)
-    if sims.shape[1] < k:  # probed pool smaller than k: pad (static shapes)
-        pad = k - sims.shape[1]
-        sims = jnp.pad(sims, ((0, 0), (0, pad)), constant_values=-jnp.inf)
-        ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
-    s, j = jax.lax.top_k(sims, k)
-    return s, jnp.take_along_axis(ids, j, axis=1)
+    return _rank_candidates(sims, ids, k)
+
+
+@partial(jax.jit, static_argnames=("k", "nprobe"))
+def _ivf_u8_search(centroids, lists, list_inv, list_ids, scale, zero, q,
+                   k: int, nprobe: int):
+    """IVF probe over uint8-resident lists: the same folded dequantize as
+    :func:`~.search._u8_search_jit` — q·x̂ = ((q*scale)·u + q·zero)/‖x‖ with
+    per-entry 1/‖x‖ precomputed at build — so both the resident lists and
+    the per-query gather move 4x fewer bytes than fp32."""
+    cscores = q @ centroids.T
+    _, probe = jax.lax.top_k(cscores, nprobe)
+    cand = lists[probe]                             # (Q, nprobe, cap, D) u8
+    inv = list_inv[probe]                           # (Q, nprobe, cap)
+    ids = list_ids[probe]
+    qs = q * scale[None, :]
+    qz = q @ zero
+    sims = jnp.einsum("qd,qpcd->qpc", qs, cand.astype(jnp.float32))
+    sims = (sims + qz[:, None, None]) * inv
+    return _rank_candidates(sims, ids, k)
 
 
 @dataclass
@@ -115,13 +140,22 @@ class IVFIndex:
     nearest centroid and zero-padded to the common capacity; searching with
     ``nprobe >= nlist`` is therefore EXACT (identical hits to
     :class:`~.search.FlatIPIndex`).
+
+    uint8-resident variant (:func:`build_ivf_index_u8`): ``lists`` holds the
+    store's RAW quantized codes with per-entry ``list_inv`` = 1/‖x‖ and the
+    codec ``scale``/``zero`` — 4x less resident HBM and gather traffic, the
+    dequantize folded into the probe einsum.
     """
 
     centroids: jax.Array   # (nlist, D) fp32
-    lists: jax.Array       # (nlist, cap, D) fp32, zero-padded
+    lists: jax.Array       # (nlist, cap, D) fp32 — or uint8 codes (u8 mode)
     list_ids: jax.Array    # (nlist, cap) int32, -1 = padding
     ntotal: int
     nprobe: int = 8        # default probe width for .search
+    # u8 mode only (None in fp32 mode):
+    scale: jax.Array | None = None      # (D,) fp32
+    zero: jax.Array | None = None       # (D,) fp32
+    list_inv: jax.Array | None = None   # (nlist, cap) fp32, 0 on padding
 
     @property
     def nlist(self) -> int:
@@ -142,9 +176,15 @@ class IVFIndex:
         k = max(1, min(k, self.ntotal))
         np_ = self.nprobe if nprobe is None else int(nprobe)
         np_ = max(1, min(np_, self.nlist))
-        scores, ids = _ivf_search(
-            self.centroids, self.lists, self.list_ids, q, k, np_
-        )
+        if self.scale is not None:
+            scores, ids = _ivf_u8_search(
+                self.centroids, self.lists, self.list_inv, self.list_ids,
+                self.scale, self.zero, q, k, np_
+            )
+        else:
+            scores, ids = _ivf_search(
+                self.centroids, self.lists, self.list_ids, q, k, np_
+            )
         return np.asarray(scores), np.asarray(ids)
 
 
@@ -196,11 +236,33 @@ def build_ivf_index(
     feats = np.asarray(feats, np.float32)
     n, d = feats.shape if feats.ndim == 2 else (0, 0)
     if n == 0:
-        z = jnp.zeros((1, max(d, 1)), jnp.float32)
-        return IVFIndex(
-            centroids=z, lists=z[:, None, :],
-            list_ids=jnp.full((1, 1), -1, jnp.int32), ntotal=0, nprobe=1,
-        )
+        return _empty_ivf(d)
+    slots = _train_and_slot(feats, nlist, iters, seed, max_imbalance)
+    centroids, nlist, cap, sorted_assign, slot, row_order = slots
+    lists = np.zeros((nlist, cap, d), np.float32)
+    ids = np.full((nlist, cap), -1, np.int32)
+    lists[sorted_assign, slot] = feats[row_order]
+    ids[sorted_assign, slot] = row_order
+    return IVFIndex(
+        centroids=jnp.asarray(centroids), lists=jnp.asarray(lists),
+        list_ids=jnp.asarray(ids), ntotal=n,
+        nprobe=max(1, min(int(nprobe), nlist)),
+    )
+
+
+def _empty_ivf(d: int) -> IVFIndex:
+    z = jnp.zeros((1, max(d, 1)), jnp.float32)
+    return IVFIndex(
+        centroids=z, lists=z[:, None, :],
+        list_ids=jnp.full((1, 1), -1, jnp.int32), ntotal=0, nprobe=1,
+    )
+
+
+def _train_and_slot(feats, nlist, iters, seed, max_imbalance):
+    """k-means train + rebalance + vectorized slot assignment (stable-sort
+    rows by cluster, slot = rank in run) — shared by the fp32 and u8
+    builders so both bucket identically."""
+    n = feats.shape[0]
     if nlist is None:
         nlist = max(1, min(n, int(round(np.sqrt(n)))))
     nlist = max(1, min(int(nlist), n))
@@ -210,17 +272,54 @@ def build_ivf_index(
         assign = _rebalance(feats, centroids, assign.copy(), cap)
     counts = np.bincount(assign, minlength=nlist)
     cap = max(1, int(counts.max()))
-    lists = np.zeros((nlist, cap, d), np.float32)
-    ids = np.full((nlist, cap), -1, np.int32)
-    # vectorized bucketing: stable-sort rows by cluster, slot = rank in run
     row_order = np.argsort(assign, kind="stable")
     sorted_assign = assign[row_order]
     starts = np.searchsorted(sorted_assign, np.arange(nlist))
     slot = np.arange(n) - starts[sorted_assign]
-    lists[sorted_assign, slot] = feats[row_order]
+    return centroids, nlist, cap, sorted_assign, slot, row_order
+
+
+def build_ivf_index_u8(
+    codes: np.ndarray,
+    scale: np.ndarray,
+    zero: np.ndarray,
+    nlist: int | None = None,
+    nprobe: int = 8,
+    iters: int = 10,
+    seed: int = 0,
+    max_imbalance: float = 4.0,
+) -> IVFIndex:
+    """IVF over the store's RAW uint8 codes (``Store.read_codes()`` +
+    ``codec_meta.npz``): k-means trains on the dequantized+renormalized
+    vectors (identical clustering to the fp32 builder given the same data),
+    but the resident inverted lists hold the uint8 codes + per-entry
+    1/‖x‖ — 4x less device memory and probe-gather traffic."""
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    scale = np.asarray(scale, np.float32)
+    zero = np.asarray(zero, np.float32)
+    n, d = codes.shape if codes.ndim == 2 else (0, 0)
+    if n == 0:
+        idx = _empty_ivf(d)  # ntotal=0 short-circuits .search before any math
+        idx.scale = jnp.ones((max(d, 1),), jnp.float32)
+        idx.zero = jnp.zeros((max(d, 1),), jnp.float32)
+        idx.lists = jnp.zeros(idx.lists.shape, jnp.uint8)
+        idx.list_inv = jnp.zeros((1, 1), jnp.float32)
+        return idx
+    x = codes.astype(np.float32) * scale + zero
+    inv = 1.0 / np.maximum(np.linalg.norm(x, axis=1), 1e-9)
+    feats = x * inv[:, None]
+    slots = _train_and_slot(feats, nlist, iters, seed, max_imbalance)
+    centroids, nlist, cap, sorted_assign, slot, row_order = slots
+    lists = np.zeros((nlist, cap, d), np.uint8)
+    list_inv = np.zeros((nlist, cap), np.float32)
+    ids = np.full((nlist, cap), -1, np.int32)
+    lists[sorted_assign, slot] = codes[row_order]
+    list_inv[sorted_assign, slot] = inv[row_order]
     ids[sorted_assign, slot] = row_order
     return IVFIndex(
         centroids=jnp.asarray(centroids), lists=jnp.asarray(lists),
         list_ids=jnp.asarray(ids), ntotal=n,
         nprobe=max(1, min(int(nprobe), nlist)),
+        scale=jnp.asarray(scale), zero=jnp.asarray(zero),
+        list_inv=jnp.asarray(list_inv),
     )

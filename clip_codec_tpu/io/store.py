@@ -64,18 +64,27 @@ class Store:
             z = l2_normalize_np(z[None, :]).astype(np.float32)[0]
         return z
 
-    def decode_all(self, renormalize: bool = True) -> np.ndarray:
-        """Dequantize every record into an ``(N, D)`` float32 matrix (native
-        batched zstd when built, python fallback otherwise)."""
+    def read_codes(self) -> np.ndarray:
+        """Read every record's RAW quantized codes into an ``(N, D)`` uint8
+        matrix — no dequantization (native batched zstd when built, python
+        fallback otherwise). This is the zero-conversion input for the
+        uint8-resident retrieval index (:func:`clip_codec_tpu.index.build_index_u8`),
+        which keeps the store compressed on device."""
         if not self.manifest:
-            return np.zeros((0, self.dim), dtype=np.float32)
+            return np.zeros((0, self.dim), dtype=np.uint8)
         from .native import decompress_frames
 
         frames = [Path(rec["bitstream"]).read_bytes() for rec in self.manifest]
         q = decompress_frames(frames, self.dim)
         if q is None:
             q = np.stack([read_bitstream(rec["bitstream"]) for rec in self.manifest])
-        z = q.astype(np.float32) * self.scale + self.zero
+        return q
+
+    def decode_all(self, renormalize: bool = True) -> np.ndarray:
+        """Dequantize every record into an ``(N, D)`` float32 matrix."""
+        if not self.manifest:
+            return np.zeros((0, self.dim), dtype=np.float32)
+        z = self.read_codes().astype(np.float32) * self.scale + self.zero
         if renormalize:
             z = l2_normalize_np(z)
         return z

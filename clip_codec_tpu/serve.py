@@ -160,7 +160,8 @@ class _Searcher:
     returns 503 with the env-var message instead of failing at boot."""
 
     def __init__(self, store_dir, codec: ClipCodec, lock: threading.Lock,
-                 ivf: bool = False, nlist: Optional[int] = None, nprobe: int = 8):
+                 ivf: bool = False, nlist: Optional[int] = None, nprobe: int = 8,
+                 u8: bool = False):
         self._store_dir = Path(store_dir)
         self._codec = codec
         self._lock = lock
@@ -168,19 +169,30 @@ class _Searcher:
         self._index = None
         self._paths = None
         self._ivf = (ivf, nlist, nprobe)
+        self._u8 = u8
 
     def _ensure_index(self):
-        from .cli.search_text import load_features
-        from .index import build_index, build_ivf_index
+        from .cli.search_text import load_codes, load_features
+        from .index import (
+            build_index, build_index_u8, build_ivf_index, build_ivf_index_u8,
+        )
 
         with self._init_lock:
             if self._index is None:
-                feats, self._paths = load_features(self._store_dir)
                 use_ivf, nlist, nprobe = self._ivf
-                self._index = (
-                    build_ivf_index(feats, nlist=nlist, nprobe=nprobe)
-                    if use_ivf else build_index(feats)
-                )
+                if self._u8:
+                    codes, scale, zero, self._paths = load_codes(self._store_dir)
+                    self._index = (
+                        build_ivf_index_u8(codes, scale, zero,
+                                           nlist=nlist, nprobe=nprobe)
+                        if use_ivf else build_index_u8(codes, scale, zero)
+                    )
+                elif use_ivf:
+                    feats, self._paths = load_features(self._store_dir)
+                    self._index = build_ivf_index(feats, nlist=nlist, nprobe=nprobe)
+                else:
+                    feats, self._paths = load_features(self._store_dir)
+                    self._index = build_index(feats)
 
     def _ensure_encoder(self):
         """Caller must hold the DEVICE lock: /compress lazily builds the same
@@ -449,7 +461,8 @@ def serve(store_dir: str, weights: Optional[str] = None, host: str = "127.0.0.1"
           port: int = 8700, artifact: Optional[str] = None,
           batch_wait_ms: float = 5.0, sd_artifact: Optional[str] = None,
           adapter: Optional[str] = None, search_ivf: bool = False,
-          search_nlist: Optional[int] = None, search_nprobe: int = 8):
+          search_nlist: Optional[int] = None, search_nprobe: int = 8,
+          search_u8: bool = False):
     codec = ClipCodec.load(store_dir, weights=weights)
     art = None
     batcher = None
@@ -498,7 +511,7 @@ def serve(store_dir: str, weights: Optional[str] = None, host: str = "127.0.0.1"
         make_handler(codec, artifact=art, batcher=batcher, sd=sd, lock=device_lock,
                      searcher=_Searcher(store_dir, codec, device_lock,
                                         ivf=search_ivf, nlist=search_nlist,
-                                        nprobe=search_nprobe)))
+                                        nprobe=search_nprobe, u8=search_u8)))
     mode = f", artifact={artifact}" if artifact else ""
     if batcher is not None:
         mode += f", micro-batch={batcher.batch_size}"
@@ -599,6 +612,11 @@ def main() -> None:
                     help="IVF cluster count (default ~sqrt(N))")
     ap.add_argument("--search_nprobe", type=int, default=8,
                     help="IVF cells probed per query")
+    ap.add_argument("--search_u8", action="store_true",
+                    help="serve /search and /search_image from a "
+                         "uint8-resident index (the store's codes stay "
+                         "compressed on device — 4x less HBM than fp32); "
+                         "composes with --search_ivf")
     add_int8_flag(ap)
     args = ap.parse_args()
     apply_int8_flag(args)
@@ -606,7 +624,8 @@ def main() -> None:
           artifact=args.artifact, batch_wait_ms=args.batch_wait_ms,
           sd_artifact=args.sd_artifact, adapter=args.adapter,
           search_ivf=args.search_ivf, search_nlist=args.search_nlist,
-          search_nprobe=args.search_nprobe).serve_forever()
+          search_nprobe=args.search_nprobe,
+          search_u8=args.search_u8).serve_forever()
 
 
 if __name__ == "__main__":

@@ -216,6 +216,34 @@ def test_search_text_cli_sharded_matches_flat(trained_store, monkeypatch, capsys
     np.testing.assert_allclose(ivf_scores, flat_scores, atol=1e-4)
 
 
+def test_search_cli_u8_matches_flat(trained_store, monkeypatch, capsys):
+    """--u8 searches the store's uint8 codes directly (dequantize folded into
+    the dot): identical hits to the fp32 flat index; --u8 --ivf composes
+    (uint8-resident inverted lists), exact at nprobe >= nlist."""
+    from clip_codec_tpu.cli.search_text import main
+
+    store, ckpt, tmp = trained_store
+    args = ["--store_dir", str(store), "--query_clp", str(store / "im2.clp"),
+            "--k", "3"]
+    _run_cli(monkeypatch, main, args)
+    flat = capsys.readouterr().out
+    _run_cli(monkeypatch, main, args + ["--u8"])
+    u8 = capsys.readouterr().out
+    _run_cli(monkeypatch, main,
+             args + ["--u8", "--ivf", "--nlist", "2", "--nprobe", "2"])
+    u8_ivf = capsys.readouterr().out
+
+    def parse(out):
+        rows = [ln.split("\t") for ln in out.strip().splitlines()]
+        return [p for _, p in rows], np.array([float(s) for s, _ in rows])
+
+    f_paths, f_scores = parse(flat)
+    for out in (u8, u8_ivf):
+        u_paths, u_scores = parse(out)
+        assert u_paths == f_paths and len(f_paths) == 3
+        np.testing.assert_allclose(u_scores, f_scores, atol=1e-4)
+
+
 def test_search_cli_query_clp(trained_store, monkeypatch, capsys):
     """--query_clp: image->image search from a compressed frame alone — no
     CLIP weights involved. The frame's own store row is the top hit. (The

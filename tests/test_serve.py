@@ -183,6 +183,41 @@ def test_searcher_ivf_matches_flat(tmp_path, monkeypatch):
     assert flat[0][0] == "img5.png"
 
 
+def test_searcher_u8_matches_flat(tmp_path, monkeypatch):
+    """_Searcher(u8=True) serves /search from the uint8-resident index:
+    identical hits to the fp32 flat searcher."""
+    import threading as _threading
+
+    import clip_codec_tpu.encoders as enc
+    from clip_codec_tpu.codec import ClipCodec
+    from clip_codec_tpu.serve import _Searcher
+
+    rng = np.random.default_rng(9)
+    feats = rng.standard_normal((12, 16)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    scale, zero = fit_affine(feats)
+    q = np.asarray(quantize(feats, scale, zero))
+    store = tmp_path / "store"
+    write_store(store, feats, [f"img{i}.png" for i in range(12)],
+                np.asarray(scale), np.asarray(zero), q)
+
+    class _StubEncoder:
+        def __init__(self, **kw):
+            pass
+
+        def encode_text(self, text):
+            return feats[5:6]
+
+    monkeypatch.setattr(enc, "ClipEncoder", _StubEncoder)
+    lock = _threading.Lock()
+    flat = _Searcher(store, ClipCodec.load(store), lock).search("x", k=4)
+    u8 = _Searcher(store, ClipCodec.load(store), lock, u8=True).search("x", k=4)
+    assert [p for p, _ in u8] == [p for p, _ in flat]
+    np.testing.assert_allclose([s for _, s in u8], [s for _, s in flat],
+                               atol=1e-4)
+    assert u8[0][0] == "img5.png"
+
+
 def test_search_image_clp_endpoint(server):
     """POST /search_image with a .clp frame body: weight-free image->image
     retrieval — the dequantized query's nearest store row is itself. (The
