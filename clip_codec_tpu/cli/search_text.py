@@ -98,6 +98,10 @@ def main() -> None:
     )
 
     store_dir = Path(args.store_dir)
+    if args.ivf and args.data_parallel:
+        # no sharded IVF exists; refusing beats silently dropping one flag
+        raise SystemExit("--ivf and --data_parallel do not combine; pick the "
+                         "clustered single-chip index or the sharded exact one")
     if args.u8:
         codes, scale, zero, paths = load_codes(store_dir)
         if args.ivf:
@@ -127,15 +131,29 @@ def main() -> None:
 
         meta = np.load(store_dir / "codec_meta.npz")
         q = decompress_frame(Path(args.query_clp).read_bytes())
+        if q.shape[0] != meta["scale"].shape[0]:
+            raise SystemExit(
+                f"{args.query_clp}: frame is {q.shape[0]}-d but the store's "
+                f"codec is {meta['scale'].shape[0]}-d — the .clp header "
+                f"carries no dim (reference quirk), so it must match the "
+                f"store it is searched against")
         qvec = dequantize_l2norm_host(q[None, :], meta["scale"], meta["zero"])[0]
     elif args.query_image is not None:
+        from PIL import Image
+
         from ..encoders import ClipEncoder
+        from ..encoders.clip import preprocess_pil_u8
 
         encoder = ClipEncoder(weights_path=args.weights, bpe_path=args.bpe)
-        z, kept = encoder.encode_images([args.query_image], verbose=False)
-        if not kept:
-            raise SystemExit(f"could not read query image {args.query_image!r}")
-        qvec = z[0]
+        try:
+            x = preprocess_pil_u8(Image.open(args.query_image),
+                                  encoder.cfg.image_size)
+        except Exception as e:
+            raise SystemExit(
+                f"could not read query image {args.query_image!r}: {e}")
+        # one image: the B=1 encode_image_array path (what serve.py uses),
+        # not encode_images' fixed batch-64 padded program
+        qvec = encoder.encode_image_array(x[None])[0]
     else:
         from ..encoders import ClipEncoder
 

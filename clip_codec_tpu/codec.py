@@ -160,6 +160,12 @@ class ClipCodec:
         if len(blobs) == 0:
             return np.zeros((0, self.dim), np.float32)
         q = np.stack([decompress_frame(b) for b in blobs])
+        if q.shape[1] != self.dim:
+            # the .clp header carries no dim (reference quirk) — catch a
+            # frame from a different store with a real message, not a
+            # numpy broadcast traceback (serve maps ValueError -> 400)
+            raise ValueError(f"frame is {q.shape[1]}-d but this codec is "
+                             f"{self.dim}-d; it belongs to a different store")
         return dequantize_l2norm_host(q, np.asarray(self.scale), np.asarray(self.zero))
 
     def decompress(

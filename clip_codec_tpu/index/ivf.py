@@ -258,25 +258,68 @@ def _empty_ivf(d: int) -> IVFIndex:
     )
 
 
-def _train_and_slot(feats, nlist, iters, seed, max_imbalance):
-    """k-means train + rebalance + vectorized slot assignment (stable-sort
-    rows by cluster, slot = rank in run) — shared by the fp32 and u8
-    builders so both bucket identically."""
-    n = feats.shape[0]
+def _resolve_nlist(n: int, nlist) -> int:
     if nlist is None:
         nlist = max(1, min(n, int(round(np.sqrt(n)))))
-    nlist = max(1, min(int(nlist), n))
-    centroids, assign = kmeans(feats, nlist, iters=iters, seed=seed)
-    if max_imbalance is not None and nlist > 1:
-        cap = int(np.ceil(max_imbalance * np.ceil(n / nlist)))
-        assign = _rebalance(feats, centroids, assign.copy(), cap)
+    return max(1, min(int(nlist), n))
+
+
+def _slot(assign: np.ndarray, nlist: int):
+    """Vectorized slot assignment (stable-sort rows by cluster, slot = rank
+    in run). Returns (cap, sorted_assign, slot, row_order)."""
+    n = assign.shape[0]
     counts = np.bincount(assign, minlength=nlist)
     cap = max(1, int(counts.max()))
     row_order = np.argsort(assign, kind="stable")
     sorted_assign = assign[row_order]
     starts = np.searchsorted(sorted_assign, np.arange(nlist))
     slot = np.arange(n) - starts[sorted_assign]
+    return cap, sorted_assign, slot, row_order
+
+
+def _train_and_slot(feats, nlist, iters, seed, max_imbalance):
+    """k-means train + rebalance + slot assignment — shared by the fp32 and
+    (small-store) u8 builders so both bucket identically."""
+    n = feats.shape[0]
+    nlist = _resolve_nlist(n, nlist)
+    centroids, assign = kmeans(feats, nlist, iters=iters, seed=seed)
+    if max_imbalance is not None and nlist > 1:
+        cap = int(np.ceil(max_imbalance * np.ceil(n / nlist)))
+        assign = _rebalance(feats, centroids, assign.copy(), cap)
+    cap, sorted_assign, slot, row_order = _slot(assign, nlist)
     return centroids, nlist, cap, sorted_assign, slot, row_order
+
+
+@jax.jit
+def _assign_chunk(c_u8, cent, scale, zero, half_cn):
+    """Batched u8 assignment: dequantize+renormalize a code chunk on device
+    (fused — no full fp32 matrix) and apply :func:`_lloyd_step`'s rule."""
+    x = c_u8.astype(jnp.float32) * scale[None, :] + zero[None, :]
+    nrm = jnp.sqrt(jnp.sum(x * x, axis=1, keepdims=True))
+    xhat = x / jnp.maximum(nrm, 1e-9)
+    return jnp.argmax(xhat @ cent.T - half_cn[None, :], axis=1).astype(jnp.int32)
+
+
+def _assign_codes_batched(codes, scale, zero, centroids,
+                          batch: int = 131072) -> np.ndarray:
+    """Assign every code row to its nearest centroid in fixed-size device
+    batches — peak device fp32 is one (batch, D) chunk, never (N, D)."""
+    n = codes.shape[0]
+    cent = jnp.asarray(centroids)
+    half = jnp.asarray(0.5 * np.sum(centroids.astype(np.float32) ** 2, axis=1))
+    scale_d = jnp.asarray(scale)
+    zero_d = jnp.asarray(zero)
+    out = np.empty((n,), np.int32)
+    for lo in range(0, n, batch):
+        chunk = codes[lo:lo + batch]
+        pad = batch - chunk.shape[0]
+        if pad:  # pad to the common shape: one compiled program for all chunks
+            chunk = np.concatenate(
+                [chunk, np.zeros((pad, chunk.shape[1]), np.uint8)])
+        a = np.asarray(_assign_chunk(jnp.asarray(chunk), cent,
+                                     scale_d, zero_d, half))
+        out[lo:lo + batch] = a[: batch - pad] if pad else a
+    return out
 
 
 def build_ivf_index_u8(
@@ -305,11 +348,28 @@ def build_ivf_index_u8(
         idx.lists = jnp.zeros(idx.lists.shape, jnp.uint8)
         idx.list_inv = jnp.zeros((1, 1), jnp.float32)
         return idx
-    x = codes.astype(np.float32) * scale + zero
+    x = codes.astype(np.float32) * scale + zero  # host fp32 (RAM, not HBM)
     inv = 1.0 / np.maximum(np.linalg.norm(x, axis=1), 1e-9)
     feats = x * inv[:, None]
-    slots = _train_and_slot(feats, nlist, iters, seed, max_imbalance)
-    centroids, nlist, cap, sorted_assign, slot, row_order = slots
+    nlist = _resolve_nlist(n, nlist)
+    train_cap = 256 * nlist  # FAISS max_points_per_centroid guidance
+    if n > train_cap:
+        # large store: train k-means on a subsample (device fp32 is the
+        # sample, not (N, D)) and assign all rows in fixed-size device
+        # batches straight from the codes — peak HBM stays ~the u8 index
+        # itself, preserving the 4x-capacity point of this builder
+        sel = np.sort(np.random.default_rng(seed).choice(
+            n, train_cap, replace=False))
+        centroids, _ = kmeans(feats[sel], nlist, iters=iters, seed=seed)
+        assign = _assign_codes_batched(codes, scale, zero, centroids)
+        if max_imbalance is not None and nlist > 1:
+            lcap = int(np.ceil(max_imbalance * np.ceil(n / nlist)))
+            assign = _rebalance(feats, centroids, assign, lcap)
+        cap, sorted_assign, slot, row_order = _slot(assign, nlist)
+    else:
+        # small store: identical train/bucket path to the fp32 builder
+        slots = _train_and_slot(feats, nlist, iters, seed, max_imbalance)
+        centroids, nlist, cap, sorted_assign, slot, row_order = slots
     lists = np.zeros((nlist, cap, d), np.uint8)
     list_inv = np.zeros((nlist, cap), np.float32)
     ids = np.full((nlist, cap), -1, np.int32)

@@ -175,7 +175,7 @@ class ShardedFlatIPIndex:
             return np.zeros((nq, 0), np.float32), np.zeros((nq, 0), np.int32)
         k = max(1, min(k, self.ntotal))
         # per-shard candidates: local top-min(k, shard) with GLOBAL row ids
-        scores, ids = _sharded_candidates(self.mesh, self.feats, q, k)
+        scores, ids = _sharded_candidates(self.mesh, self.feats, q, k, self.ntotal)
         return _merge_candidates(scores, ids, self.ntotal, k)
 
 
@@ -190,7 +190,7 @@ def _merge_candidates(scores, ids, ntotal: int, k: int):
     return scores[rows, order], ids[rows, order]
 
 
-def _sharded_candidates(mesh, feats, q, k: int):
+def _sharded_candidates(mesh, feats, q, k: int, ntotal: int):
     from jax.sharding import PartitionSpec as P
 
     shard_rows = feats.shape[0] // mesh.shape["data"]
@@ -198,8 +198,14 @@ def _sharded_candidates(mesh, feats, q, k: int):
 
     def local(feats_l, q_l):
         sims = q_l @ feats_l.T  # (Q, N/n) on this shard's MXU
-        s, i = jax.lax.top_k(sims, kk)
+        # mask padding rows to -inf BEFORE the local top_k: a zero-padded
+        # row scores exactly 0, which would displace real rows with
+        # NEGATIVE scores from the local candidate set (and the merge would
+        # then drop the true hit, not recover it)
         base = jax.lax.axis_index("data").astype(jnp.int32) * shard_rows
+        gids = base + jnp.arange(shard_rows, dtype=jnp.int32)
+        sims = jnp.where(gids[None, :] < ntotal, sims, -jnp.inf)
+        s, i = jax.lax.top_k(sims, kk)
         return s, base + i.astype(jnp.int32)
 
     fn = jax.shard_map(
@@ -250,12 +256,14 @@ class ShardedU8FlatIPIndex:
             return np.zeros((nq, 0), np.float32), np.zeros((nq, 0), np.int32)
         k = max(1, min(k, self.ntotal))
         scores, ids = _sharded_u8_candidates(
-            self.mesh, self.codes, self.scale, self.zero, self.inv_norms, q, k
+            self.mesh, self.codes, self.scale, self.zero, self.inv_norms, q, k,
+            self.ntotal,
         )
         return _merge_candidates(scores, ids, self.ntotal, k)
 
 
-def _sharded_u8_candidates(mesh, codes, scale, zero, inv_norms, q, k: int):
+def _sharded_u8_candidates(mesh, codes, scale, zero, inv_norms, q, k: int,
+                           ntotal: int):
     from jax.sharding import PartitionSpec as P
 
     shard_rows = codes.shape[0] // mesh.shape["data"]
@@ -266,8 +274,13 @@ def _sharded_u8_candidates(mesh, codes, scale, zero, inv_norms, q, k: int):
         qz = q_l @ zero_l
         sims = qs @ codes_l.astype(jnp.float32).T      # (Q, N/n) this shard
         sims = (sims + qz[:, None]) * inv_l[None, :]
-        s, i = jax.lax.top_k(sims, kk)
+        # padding rows (inv_norm 0) score (0+qz)*0 = 0, which beats real
+        # NEGATIVE scores — mask to -inf before the local top_k (see
+        # _sharded_candidates)
         base = jax.lax.axis_index("data").astype(jnp.int32) * shard_rows
+        gids = base + jnp.arange(shard_rows, dtype=jnp.int32)
+        sims = jnp.where(gids[None, :] < ntotal, sims, -jnp.inf)
+        s, i = jax.lax.top_k(sims, kk)
         return s, base + i.astype(jnp.int32)
 
     fn = jax.shard_map(
@@ -283,8 +296,9 @@ def build_sharded_index_u8(
     codes: np.ndarray, scale: np.ndarray, zero: np.ndarray, mesh
 ) -> ShardedU8FlatIPIndex:
     """Row-shard raw store codes over ``mesh``'s ``data`` axis. Padding rows
-    are all-zero codes with inv_norm 0 — they score 0·(anything) at most and
-    are dropped by id at merge regardless."""
+    (all-zero codes, inv_norm 0) are masked to -inf before each shard's
+    local top_k — their raw score would be exactly 0, which outranks real
+    negative-scoring rows — and dropped by id at merge as a second layer."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     codes = np.ascontiguousarray(codes, dtype=np.uint8)

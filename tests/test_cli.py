@@ -259,10 +259,23 @@ def test_search_cli_query_clp(trained_store, monkeypatch, capsys):
     assert rows[0][1].endswith("im2.png")
     assert float(rows[0][0]) > 0.99
 
+    # frame from a different-dim store -> clean error, not a numpy traceback
+    # (the .clp header carries no dim — reference quirk)
+    from clip_codec_tpu.io.bitstream import compress_frame
+
+    bad = store / "wrong_dim.clp"
+    bad.write_bytes(compress_frame(np.zeros(7, np.uint8).tobytes()))
+    with pytest.raises(SystemExit):
+        _run_cli(monkeypatch, main, ["--store_dir", str(store),
+                                     "--query_clp", str(bad)])
+
 
 def test_search_cli_query_image(trained_store, monkeypatch, capsys):
-    """--query_image routes through ClipEncoder.encode_images (stubbed to a
-    known store vector); exactly one query flag is enforced by argparse."""
+    """--query_image routes through the B=1 encode_image_array path with
+    preprocess_pil_u8 geometry (stubbed to a known store vector); exactly
+    one query flag is enforced by argparse."""
+    from types import SimpleNamespace
+
     import clip_codec_tpu.encoders as encoders_mod
     from clip_codec_tpu.cli.search_text import main
 
@@ -273,14 +286,17 @@ def test_search_cli_query_image(trained_store, monkeypatch, capsys):
     from clip_codec_tpu.io.store import Store
 
     feats = Store.open(store).decode_all(renormalize=True)
+    seen = {}
 
     class _StubEncoder:
+        cfg = SimpleNamespace(image_size=32)
+
         def __init__(self, **kw):
             pass
 
-        def encode_images(self, paths, verbose=True):
-            assert list(paths) == [img_path]
-            return feats[3:4], [img_path]
+        def encode_image_array(self, x):
+            seen["shape"], seen["dtype"] = x.shape, x.dtype
+            return feats[3:4]
 
     monkeypatch.setattr(encoders_mod, "ClipEncoder", _StubEncoder)
     _run_cli(monkeypatch, main, ["--store_dir", str(store),
@@ -288,10 +304,17 @@ def test_search_cli_query_image(trained_store, monkeypatch, capsys):
     rows = [ln.split("\t") for ln in capsys.readouterr().out.strip().splitlines()]
     assert rows[0][1].endswith("im3.png")
     assert float(rows[0][0]) > 0.999
+    assert seen["shape"] == (1, 32, 32, 3) and seen["dtype"] == np.uint8
 
     with pytest.raises(SystemExit):  # --query and --query_image are exclusive
         _run_cli(monkeypatch, main, ["--store_dir", str(store), "--query", "x",
                                      "--query_image", img_path])
+    with pytest.raises(SystemExit):  # unreadable image -> clean error
+        _run_cli(monkeypatch, main, ["--store_dir", str(store),
+                                     "--query_image", str(tmp / "absent.png")])
+    with pytest.raises(SystemExit):  # no sharded IVF: refuse, don't drop a flag
+        _run_cli(monkeypatch, main, ["--store_dir", str(store), "--query", "x",
+                                     "--ivf", "--data_parallel"])
 
 
 def test_model_config_autopickup(trained_store, monkeypatch, tmp_path):

@@ -100,6 +100,34 @@ def test_sharded_u8_matches_flat(rng):
     assert s.shape == (3, 0) and i.shape == (3, 0)
 
 
+def test_sharded_padding_never_displaces_negative_hits():
+    """Regression: padding rows score exactly 0, which outranks real rows
+    when every true score is NEGATIVE — unmasked, a shard's local top_k
+    returns the pad row and the merge then drops the true best hit instead
+    of recovering it. N=9 on 8 devices pads to 16 (7 pad rows); the query
+    scores every row negative with row 8 (alone on the last shard with a
+    pad row) the global best."""
+    from clip_codec_tpu.index import build_sharded_index, build_sharded_index_u8
+    from clip_codec_tpu.parallel import make_mesh
+
+    d = 16
+    feats = np.eye(9, d, dtype=np.float32)        # unit one-hot rows
+    q = -np.ones(d, np.float32)
+    q[8] = -0.1                                   # row 8: least-negative score
+    q /= np.linalg.norm(q)
+
+    mesh = make_mesh(8)
+    sharded = build_sharded_index(feats, mesh)
+    s, i = sharded.search(q, k=1)
+    assert i[0, 0] == 8 and s[0, 0] < 0
+
+    scale, zero = fit_affine(feats)
+    codes = np.asarray(quantize(feats, scale, zero))
+    u8 = build_sharded_index_u8(codes, np.asarray(scale), np.asarray(zero), mesh)
+    s, i = u8.search(q, k=1)
+    assert i[0, 0] == 8 and s[0, 0] < 0
+
+
 def test_ivf_u8_full_probe_matches_u8_flat(rng):
     """uint8-resident IVF with nprobe >= nlist probes every list -> identical
     hits to the u8 flat index (exactness preserved through the bucketing),
@@ -124,6 +152,34 @@ def test_ivf_u8_full_probe_matches_u8_flat(rng):
     s2, i2 = ivf_f32.search(q, 10)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-5)
+
+
+def test_ivf_u8_subsampled_train_path(rng):
+    """Stores past 256*nlist rows train k-means on a subsample and assign
+    every row in device batches from the codes (never materializing the
+    (N, D) fp32 matrix on device). Exactness-under-full-probe holds
+    regardless of which path trained the centroids."""
+    from clip_codec_tpu.index import build_ivf_index_u8
+    from clip_codec_tpu.index.ivf import _assign_codes_batched
+
+    codes, scale, zero = _quantized_store(rng, 600, 16)  # 600 > 256*nlist=512
+    u8_flat = build_index_u8(codes, scale, zero)
+    ivf = build_ivf_index_u8(codes, scale, zero, nlist=2, nprobe=2)
+    assert sorted(np.asarray(ivf.list_ids).ravel()[
+        np.asarray(ivf.list_ids).ravel() >= 0].tolist()) == list(range(600))
+    q = rng.standard_normal((4, 16)).astype(np.float32)
+    s0, i0 = u8_flat.search(q, 10)
+    s1, i1 = ivf.search(q, 10)
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(s0, s1, rtol=1e-5, atol=1e-5)
+
+    # batched assignment == one-shot assignment rule (chunk padding exact)
+    cent = np.asarray(ivf.centroids)
+    x = codes.astype(np.float32) * scale + zero
+    xhat = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-9)
+    ref = np.argmax(xhat @ cent.T - 0.5 * np.sum(cent**2, axis=1), axis=1)
+    got = _assign_codes_batched(codes, scale, zero, cent, batch=128)
+    np.testing.assert_array_equal(got, ref.astype(np.int32))
 
 
 def test_ivf_u8_partial_probe_and_empty(rng):
