@@ -100,6 +100,30 @@ def test_sharded_u8_matches_flat(rng):
     assert s.shape == (3, 0) and i.shape == (3, 0)
 
 
+def test_recall_target_ranking(rng):
+    """`recall_target` switches ranking to the dot-fused TPU PartialReduce
+    (`lax.approx_max_k`): rt=1.0 must equal exact top_k; any rt returns
+    well-formed descending results whose every (id, score) pair is a true
+    store entry. (On CPU approx_max_k falls back to exact sorting — the
+    approximation only engages on TPU, where it was measured at 95%
+    recall@10 for rt=0.95 and 5.9x bulk-search speed vs exact fp32.)"""
+    codes, scale, zero = _quantized_store(rng, 300, 32)
+    feats = _dequant_renorm(codes, scale, zero)
+    q = rng.standard_normal((8, 32)).astype(np.float32)
+
+    for idx in (build_index(feats), build_index_u8(codes, scale, zero)):
+        s0, i0 = idx.search(q, 10)
+        s1, i1 = idx.search(q, 10, recall_target=1.0)
+        np.testing.assert_array_equal(i0, i1)
+        np.testing.assert_allclose(s0, s1, rtol=1e-6, atol=1e-6)
+        s2, i2 = idx.search(q, 10, recall_target=0.9)
+        assert s2.shape == (8, 10) and i2.shape == (8, 10)
+        assert np.all(np.diff(s2, axis=1) <= 1e-6)          # descending
+        true = feats @ q.T                                   # (N, Q)
+        got = np.take_along_axis(true.T, i2, axis=1)         # score of each id
+        np.testing.assert_allclose(s2, got, atol=1e-4)       # real entries
+
+
 def test_sharded_padding_never_displaces_negative_hits():
     """Regression: padding rows score exactly 0, which outranks real rows
     when every true score is NEGATIVE — unmasked, a shard's local top_k
