@@ -31,6 +31,12 @@ def main() -> None:
     ap.add_argument("--data_parallel", action="store_true",
                     help="shard each encode batch over all chips (params "
                          "replicated); same embeddings, N-chip throughput")
+    ap.add_argument("--append", action="store_true",
+                    help="add images to an EXISTING store: new vectors are "
+                         "quantized against the store's codec_meta (old "
+                         "frames stay byte-identical; out-of-range values "
+                         "clamp) and the manifest grows — the reference can "
+                         "only re-encode a whole directory")
     args = ap.parse_args()
     apply_device_flag(args.device)
 
@@ -39,7 +45,7 @@ def main() -> None:
 
     from ..codecs.quantizer import fit_affine, quantize
     from ..encoders import ClipEncoder
-    from ..io.store import write_store
+    from ..io.store import append_store, write_store
 
     mesh = None
     if args.data_parallel:
@@ -51,6 +57,11 @@ def main() -> None:
     feats, kept = encoder.encode_images(paths, batch_size=args.batch_size)
     if feats.size == 0:
         raise SystemExit("No images encoded.")
+
+    if args.append:
+        recs = append_store(args.out_dir, feats, kept)
+        print(f"Done. Appended {len(recs)} vectors to {args.out_dir}")
+        return
 
     scale, zero = fit_affine(feats)  # eps=1e-8, matching the torch quantizer
     q = np.asarray(quantize(feats, scale, zero))

@@ -90,21 +90,25 @@ class Store:
         return z
 
 
-def dedupe_stems(paths: List[str]) -> List[str]:
+def dedupe_stems(paths: List[str], used: Optional[set] = None) -> List[str]:
     """Collision-safe per-path file stems.
 
     The reference names artifacts by bare image stem (``cli/encode_images.py:81``,
     ``cli/precompute_latents.py:28``), so ``a/img.png`` and ``b/img.png``
     silently clobber each other. Unique stems keep the reference naming;
-    duplicates get a deterministic ``__{k}`` suffix.
+    duplicates get a deterministic ``__{k}`` suffix. ``used`` pre-seeds the
+    taken stems (append mode: never clobber an existing frame).
     """
-    seen: Dict[str, int] = {}
+    used = set() if used is None else set(used)
     stems: List[str] = []
     for p in paths:
-        stem = Path(p).stem
-        k = seen.get(stem, 0)
-        seen[stem] = k + 1
-        stems.append(stem if k == 0 else f"{stem}__{k}")
+        base = Path(p).stem
+        cand, k = base, 0
+        while cand in used:
+            k += 1
+            cand = f"{base}__{k}"
+        used.add(cand)
+        stems.append(cand)
     return stems
 
 
@@ -133,15 +137,23 @@ def write_store(
         zero=np.asarray(zero, dtype="float32"),
         dim=dim,
     )
-    manifest: List[Dict[str, str]] = []
+    manifest = _write_frames(out, image_paths, quantized, dedupe_stems(image_paths))
+    with open(out / "manifest.json", "w", encoding="utf-8") as f:
+        json.dump(manifest, f, ensure_ascii=False, indent=2)
+    return manifest
+
+
+def _write_frames(out: Path, image_paths: List[str], quantized: np.ndarray,
+                  stems: List[str]) -> List[Dict[str, str]]:
     q_mat = np.ascontiguousarray(np.asarray(quantized, dtype=np.uint8))
-    stems = dedupe_stems(image_paths)
+    D = int(q_mat.shape[1])
     from .native import compress_frames
 
     # Native and python paths are guaranteed byte-identical (the native lib
     # self-checks against the python framing at load and is disabled on any
     # mismatch), so which one runs never changes the stored bytes.
     frames = compress_frames(q_mat) if len(image_paths) > 0 else None
+    manifest: List[Dict[str, str]] = []
     for i, p in enumerate(image_paths):
         out_path = out / (stems[i] + ".clp")
         if frames is not None:
@@ -149,6 +161,42 @@ def write_store(
         else:
             write_bitstream(q_mat[i].tobytes(), D, out_path)
         manifest.append({"image": str(p), "bitstream": str(out_path)})
+    return manifest
+
+
+def append_store(
+    store_dir: PathLike,
+    feats: np.ndarray,
+    image_paths: List[str],
+) -> List[Dict[str, str]]:
+    """Add vectors to an EXISTING store (the FAISS ``index.add`` analogue at
+    the store level; the reference can only re-encode a whole directory).
+
+    New vectors are quantized against the store's existing ``codec_meta.npz``
+    — the codec contract: scale/zero are fixed at the initial fit, so every
+    old ``.clp`` frame stays byte-identical and any embedding component
+    outside the original fit range clamps to the 0/255 rail (same clamp the
+    quantizer always applies). Existing frames are never clobbered (stems
+    dedupe against the current manifest). A stale ``decoded.npy`` cache is
+    removed — it no longer matches the store, and every reader falls back to
+    decoding the frames. Returns the new manifest records.
+    """
+    st = Store.open(store_dir)
+    feats = np.asarray(feats, np.float32)
+    if feats.ndim != 2 or feats.shape[1] != st.dim:
+        raise ValueError(f"appending {feats.shape}-shaped features to a "
+                         f"{st.dim}-d store")
+    from ..codecs.quantizer import quantize
+
+    q = np.asarray(quantize(feats, st.scale, st.zero))
+    used = {Path(rec["bitstream"]).stem for rec in st.manifest}
+    stems = dedupe_stems(image_paths, used=used)
+    out = Path(store_dir)
+    new_records = _write_frames(out, image_paths, q, stems)
+    manifest = st.manifest + new_records
     with open(out / "manifest.json", "w", encoding="utf-8") as f:
         json.dump(manifest, f, ensure_ascii=False, indent=2)
-    return manifest
+    cache = out / "decoded.npy"
+    if cache.exists():
+        cache.unlink()  # stale: rebuilt by whoever wants it; readers decode frames
+    return new_records

@@ -169,3 +169,49 @@ def test_text_retrieval_flow(tiny_encoder, tmp_path, rng):
     idx = build_index(feats)
     res = search_index(zt[0], idx, [f"p{i}" for i in range(10)], k=3)
     assert res[0][0] == "p3"
+
+
+def test_encode_cli_append(tiny_encoder, tiny_clip_ckpt, tmp_path, rng, monkeypatch, capsys):
+    """cli.encode_images --append: a second encode run ADDS to the store
+    under the existing codec meta — old frames byte-identical, manifest
+    grows, retrieval sees the new rows (no add operation exists in the
+    reference; it re-encodes whole directories)."""
+    import sys
+
+    import clip_codec_tpu.encoders as encoders_mod
+    from clip_codec_tpu.cli.encode_images import main
+
+    def mkimgs(sub, n, start=0):
+        d = tmp_path / sub
+        d.mkdir()
+        for i in range(start, start + n):
+            Image.fromarray(rng.integers(0, 256, (40, 50, 3), dtype=np.uint8)
+                            ).save(d / f"im{i}.png")
+        return d
+
+    monkeypatch.setattr(encoders_mod, "ClipEncoder",
+                        lambda **kw: tiny_encoder)
+    store = tmp_path / "store"
+    d1 = mkimgs("a", 4)
+    monkeypatch.setattr(sys, "argv", ["x", "--img_dir", str(d1),
+                                      "--out_dir", str(store), "--device", "cpu"])
+    main()
+    meta0 = (store / "codec_meta.npz").read_bytes()
+    frames0 = {p.name: p.read_bytes() for p in store.glob("*.clp")}
+
+    d2 = mkimgs("b", 2, start=10)
+    monkeypatch.setattr(sys, "argv", ["x", "--img_dir", str(d2),
+                                      "--out_dir", str(store), "--device", "cpu",
+                                      "--append"])
+    main()
+    assert "Appended 2" in capsys.readouterr().out
+    assert (store / "codec_meta.npz").read_bytes() == meta0
+    for name, blob in frames0.items():
+        assert (store / name).read_bytes() == blob
+
+    st = Store.open(store)
+    assert len(st) == 6
+    z = st.decode_all()
+    idx = build_index(z)
+    hits = search_index(z[5], idx, [r["image"] for r in st.manifest], k=1)
+    assert hits[0][0].endswith("im11.png")

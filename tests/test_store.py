@@ -156,3 +156,48 @@ def test_lazy_top_level_export():
 
     with _pytest.raises(AttributeError):
         clip_codec_tpu.NotAThing
+
+
+def test_append_store(tmp_path, rng):
+    """append_store adds vectors under the EXISTING codec meta: old frames
+    stay byte-identical, the manifest grows, stems never clobber existing
+    frames, a stale decoded.npy cache is removed, and appended vectors decode
+    within quantization error. (The reference can only re-encode a whole
+    directory — there is no add operation.)"""
+    from clip_codec_tpu.io.store import append_store
+
+    feats = rng.standard_normal((5, 32)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    scale, zero = fit_affine(feats)
+    q = np.asarray(quantize(feats, scale, zero))
+    write_store(tmp_path, feats, [f"a/img_{i}.png" for i in range(5)],
+                np.asarray(scale), np.asarray(zero), q)
+    old_meta = (tmp_path / "codec_meta.npz").read_bytes()
+    old_frames = {p.name: p.read_bytes() for p in tmp_path.glob("*.clp")}
+    np.save(tmp_path / "decoded.npy", feats)  # now-stale cache
+
+    # convex combinations of existing rows stay inside the per-dim fit range
+    # (out-of-range components clamp to the 0/255 rail — documented contract)
+    w = rng.random((3, 5)).astype(np.float32)
+    new = (w / w.sum(axis=1, keepdims=True)) @ feats
+    # one colliding stem: b/img_0.png must NOT clobber a/img_0.png's frame
+    recs = append_store(tmp_path, new,
+                        ["b/img_0.png", "b/fresh.png", "b/fresh2.png"])
+    assert len(recs) == 3
+    assert recs[0]["bitstream"].endswith("img_0__1.clp")
+    assert (tmp_path / "codec_meta.npz").read_bytes() == old_meta
+    for name, blob in old_frames.items():
+        assert (tmp_path / name).read_bytes() == blob
+    assert not (tmp_path / "decoded.npy").exists()
+
+    st = Store.open(tmp_path)
+    assert len(st) == 8
+    z = st.decode_all(renormalize=False)
+    # appended rows quantized with the ORIGINAL scale/zero; in-range values
+    # land within half a quantization step per component
+    err = np.abs(z[5:] - new).max()
+    assert err <= 0.5 * np.asarray(scale).max() + 1e-6
+
+    with np.testing.assert_raises(ValueError):  # dim mismatch refused
+        append_store(tmp_path, rng.standard_normal((1, 16)).astype(np.float32),
+                     ["x.png"])
