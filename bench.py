@@ -56,6 +56,17 @@ def _peak_flops() -> float | None:
     return None
 
 
+
+def _static_calibrated(net, params, rng, z):
+    """ONE calibration recipe for every int8 bench path: activation absmax
+    over noise-scale inputs at (0.95, 0.5, 0.05) of the 1000-step schedule."""
+    from clip_codec_tpu.ops import calibrate_int8
+
+    cal_x = jnp.asarray(rng.standard_normal((4, SIZE, SIZE, 3)), jnp.float32)
+    batches = [(cal_x, z[:4], jnp.full((4,), tt, jnp.int32)) for tt in (950, 500, 50)]
+    return {**params, "quant": calibrate_int8(net.apply, params, *batches)}
+
+
 def main() -> None:
     from clip_codec_tpu.diffusion import NoiseSchedule, ddim_sample
     from clip_codec_tpu.models import CLIPCondUNet
@@ -81,14 +92,7 @@ def main() -> None:
         # Calibrate activation scales on noise-scale inputs across the
         # timestep range (DDIM trajectories start at N(0,1) and stay
         # near unit scale through the clamp/x0-pred dynamics).
-        from clip_codec_tpu.ops import calibrate_int8
-
-        cal_x = jnp.asarray(rng.standard_normal((4, SIZE, SIZE, 3)), jnp.float32)
-        batches = [
-            (cal_x, z[:4], jnp.full((4,), tt, jnp.int32)) for tt in (950, 500, 50)
-        ]
-        quant = calibrate_int8(net.apply, params, *batches)
-        params = {**params, "quant": quant}
+        params = _static_calibrated(net, params, rng, z)
         print("[bench] int8 static calibration done", file=sys.stderr)
 
     def model_fn(p, x, zz, t):
@@ -174,15 +178,9 @@ def main() -> None:
     # the headline record.
     if not int8_mode and os.environ.get("CLIP_CODEC_BENCH_SKIP_INT8", "") in ("", "0"):
         try:
-            from clip_codec_tpu.ops import calibrate_int8
-
             net_q = CLIPCondUNet(z_dim=512, base=128, ch_mult=(1, 2, 2),
                                  img_ch=3, dtype=jnp.bfloat16, int8=True)
-            cal_x = jnp.asarray(rng.standard_normal((4, SIZE, SIZE, 3)), jnp.float32)
-            cal = [(cal_x, z[:4], jnp.full((4,), tt, jnp.int32))
-                   for tt in (950, 500, 50)]
-            quant = calibrate_int8(net_q.apply, params, *cal)
-            params_q = {**params, "quant": quant}
+            params_q = _static_calibrated(net_q, params, rng, z)
 
             def model_fn_q(p, xx, zz, tt):
                 # ONE function object across calls: a fresh lambda per call
@@ -222,7 +220,6 @@ def int8_quality() -> None:
     from clip_codec_tpu.diffusion import NoiseSchedule, ddim_sample
     from clip_codec_tpu.eval.metrics import psnr_batch, ssim_batch
     from clip_codec_tpu.models import CLIPCondUNet
-    from clip_codec_tpu.ops import calibrate_int8
 
     rng = np.random.default_rng(0)
     net_fp = CLIPCondUNet(z_dim=512, base=128, ch_mult=(1, 2, 2), img_ch=3,
@@ -233,10 +230,7 @@ def int8_quality() -> None:
     x = jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
     params = jax.jit(net_fp.init)(jax.random.PRNGKey(0), x, z[:1], jnp.zeros((1,), jnp.int32))
 
-    cal_x = jnp.asarray(rng.standard_normal((4, SIZE, SIZE, 3)), jnp.float32)
-    batches = [(cal_x, z[:4], jnp.full((4,), tt, jnp.int32)) for tt in (950, 500, 50)]
-    quant = calibrate_int8(net_q.apply, params, *batches)
-    params_q = {**params, "quant": quant}
+    params_q = _static_calibrated(net_q, params, rng, z)
 
     sched = NoiseSchedule.create(1000, "cosine")
     shape = (BATCH, SIZE, SIZE, 3)

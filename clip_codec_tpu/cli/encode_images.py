@@ -47,12 +47,27 @@ def main() -> None:
     from ..encoders import ClipEncoder
     from ..io.store import append_store, write_store
 
+    if args.append:
+        # fail BEFORE the expensive encode pass: the store must exist
+        from ..io.store import Store
+
+        try:
+            st = Store.open(args.out_dir)
+        except FileNotFoundError as e:
+            raise SystemExit(f"--append needs an existing store: {e}")
+
     mesh = None
     if args.data_parallel:
         from ..parallel import make_mesh
 
         mesh = make_mesh()
     encoder = ClipEncoder(weights_path=args.weights, mesh=mesh)
+    if args.append and st.dim != encoder.cfg.embed_dim:
+        # still before the encode pass: dim mismatch fails in seconds,
+        # not after hours of encoding
+        raise SystemExit(f"--append target {args.out_dir} is {st.dim}-d but "
+                         f"this encoder emits {encoder.cfg.embed_dim}-d "
+                         f"embeddings")
     paths = rglob_images(args.img_dir)
     feats, kept = encoder.encode_images(paths, batch_size=args.batch_size)
     if feats.size == 0:

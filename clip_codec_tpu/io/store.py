@@ -138,9 +138,20 @@ def write_store(
         dim=dim,
     )
     manifest = _write_frames(out, image_paths, quantized, dedupe_stems(image_paths))
-    with open(out / "manifest.json", "w", encoding="utf-8") as f:
-        json.dump(manifest, f, ensure_ascii=False, indent=2)
+    _dump_manifest(out, manifest)
     return manifest
+
+
+def _dump_manifest(out: Path, manifest: List[Dict[str, str]]) -> None:
+    """Atomic manifest write (tmp + rename): the manifest is the only
+    image->bitstream mapping, so a crash mid-dump must never leave a
+    truncated file orphaning every existing frame."""
+    tmp = out / "manifest.json.tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(manifest, f, ensure_ascii=False, indent=2)
+    import os
+
+    os.replace(tmp, out / "manifest.json")
 
 
 def _write_frames(out: Path, image_paths: List[str], quantized: np.ndarray,
@@ -178,25 +189,35 @@ def append_store(
     outside the original fit range clamps to the 0/255 rail (same clamp the
     quantizer always applies). Existing frames are never clobbered (stems
     dedupe against the current manifest). A stale ``decoded.npy`` cache is
-    removed — it no longer matches the store, and every reader falls back to
-    decoding the frames. Returns the new manifest records.
+    removed BEFORE the manifest grows (readers fall back to decoding frames
+    — a crash can never leave a shorter cache silently shadowing the grown
+    store). SD latent side-files are NOT touched: re-run
+    ``cli.precompute_latents`` after appending (a warning is printed when
+    ``manifest_latents.json`` exists). Returns the new manifest records.
     """
     st = Store.open(store_dir)
     feats = np.asarray(feats, np.float32)
     if feats.ndim != 2 or feats.shape[1] != st.dim:
         raise ValueError(f"appending {feats.shape}-shaped features to a "
                          f"{st.dim}-d store")
+    if feats.shape[0] != len(image_paths):
+        raise ValueError(f"{feats.shape[0]} feature rows but "
+                         f"{len(image_paths)} image paths")
     from ..codecs.quantizer import quantize
 
     q = np.asarray(quantize(feats, st.scale, st.zero))
     used = {Path(rec["bitstream"]).stem for rec in st.manifest}
     stems = dedupe_stems(image_paths, used=used)
     out = Path(store_dir)
-    new_records = _write_frames(out, image_paths, q, stems)
-    manifest = st.manifest + new_records
-    with open(out / "manifest.json", "w", encoding="utf-8") as f:
-        json.dump(manifest, f, ensure_ascii=False, indent=2)
     cache = out / "decoded.npy"
     if cache.exists():
-        cache.unlink()  # stale: rebuilt by whoever wants it; readers decode frames
+        cache.unlink()  # stale the moment we add rows; delete FIRST
+    new_records = _write_frames(out, image_paths, q, stems)
+    _dump_manifest(out, st.manifest + new_records)
+    if (out / "manifest_latents.json").exists():
+        import sys
+
+        print(f"[append_store] {out / 'manifest_latents.json'} does not cover "
+              f"the appended rows — re-run cli.precompute_latents",
+              file=sys.stderr)
     return new_records
