@@ -98,6 +98,7 @@ class StableDiffusionDecoder:
         rng: Optional[jax.Array] = None,
         int8: Optional[bool] = None,
         flash: Optional[bool] = None,
+        timesteps: int = 1000,
     ) -> None:
         # int8: UNet interior on the int8 MXU (serving mode; measured +9.4%
         # at B=8, quality trade in docs/performance.md). The VAE stays fp
@@ -115,7 +116,10 @@ class StableDiffusionDecoder:
             adapter_params = self.adapter.init(rng, jnp.zeros((1, clip_dim), jnp.float32))["params"]
         self.adapter_params = adapter_params
         self.scaling_factor = SD_SCALING_FACTOR
-        self.tables = SDSchedulerTables.create()
+        # Schedule LENGTH (1000 for real SD-1.5; short for test-scale
+        # models) — sampling grids and int8 calibration both derive from it.
+        self.timesteps = int(timesteps)
+        self.tables = SDSchedulerTables.create(self.timesteps)
         # Static int8 activation scales for the UNet ('quant' collection,
         # set by calibrate_int8_scales); None = dynamic per-tensor quant.
         self.unet_quant: Optional[Dict] = None
@@ -133,13 +137,24 @@ class StableDiffusionDecoder:
             {"params": self.vae_params}, latents / self.scaling_factor, method=AutoencoderKL.decode
         )
 
-    def calibrate_int8_scales(self, z_clip: jax.Array, shape, timesteps=(950, 500, 50)) -> None:
+    def calibrate_int8_scales(self, z_clip: jax.Array, shape, timesteps=None) -> None:
         """Record static per-layer activation absmax for the int8 UNet (the
         measured-best serving mode: the dynamic per-layer absmax reductions
         cost 3.6x at B=1, docs/performance.md). One fp pass per calibration
         timestep on noise-scale latents; scales are stored on the decoder
-        and ride every subsequent ``sample``/``forward`` call."""
+        and ride every subsequent ``sample``/``forward`` call.
+
+        ``timesteps``: None (default) takes the 95%/50%/5% points of the
+        decoder's OWN schedule length — same policy as
+        :func:`ops.int8.calibrate_unet` — so a short-schedule model
+        calibrates inside its real sampling range; or an explicit sequence
+        of absolute t values."""
         from ...ops.int8 import calibrate_int8
+
+        if timesteps is None:
+            T = self.timesteps
+            timesteps = [max(0, min(T - 1, int(round(f * T))))
+                         for f in (0.95, 0.5, 0.05)]
 
         cond = self.adapter.apply({"params": self.adapter_params}, z_clip)
         # CFG evaluates the UNet on BOTH branches every step — calibrate the
@@ -256,6 +271,7 @@ class StableDiffusionDecoder:
             inv_weight=float(inv_weight), inv_every=int(inv_every),
             decode_pixels=bool(decode_pixels), scaling=self.scaling_factor,
             cfg_batched=bool(cfg_batched), sampler=str(sampler),
+            timesteps=self.timesteps,
         )
 
 
@@ -264,14 +280,14 @@ class StableDiffusionDecoder:
     static_argnames=(
         "unet", "vae", "adapter", "embed_fn", "shape", "steps", "eta",
         "inv_weight", "inv_every", "decode_pixels", "scaling", "cfg_batched",
-        "sampler",
+        "sampler", "timesteps",
     ),
 )
 def _cfg_ddim_sample(
     unet, vae, adapter, unet_vars, vae_params, adapter_params,
     z_clip, z_target, rng, guidance_scale, *, embed_fn, shape, steps, eta,
     inv_weight, inv_every, decode_pixels, scaling, cfg_batched=True,
-    sampler="ddim",
+    sampler="ddim", timesteps=1000,
 ):
     """CFG DDIM (+ optional inversion guidance) as one compiled program.
     Modules and numbers are static (flax modules hash by structure); every
@@ -292,11 +308,11 @@ def _cfg_ddim_sample(
     ctx2 = jnp.concatenate([uncond, cond], axis=0) if cfg_batched else None
     z_tgt = z_target / jnp.maximum(jnp.linalg.norm(z_target, axis=-1, keepdims=True), 1e-9)
 
-    tables = SDSchedulerTables.create()
-    ts = sd_ddim_timesteps(steps)
+    tables = SDSchedulerTables.create(timesteps)
+    ts = sd_ddim_timesteps(steps, timesteps)
     ac = tables.alphas_cumprod
     abt = jnp.asarray(ac[ts], jnp.float32)
-    prev_ts = ts - (1000 // steps)
+    prev_ts = ts - (timesteps // steps)
     ab_prev = jnp.asarray(
         np.where(prev_ts >= 0, ac[np.maximum(prev_ts, 0)], tables.final_alpha_cumprod),
         jnp.float32,

@@ -314,3 +314,67 @@ def test_int8_dense_param_tree_and_error():
     assert set(p_nb.keys()) == {"kernel"}
     y = Int8Dense(32, use_bias=False).apply({"params": p_nb}, x)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def _tiny_sd_decoder(timesteps: int):
+    from clip_codec_tpu.models.sd import AutoencoderKL, SDUNet, StableDiffusionDecoder
+    from tests.test_sd import TINY_UNET, TINY_VAE
+
+    vae = AutoencoderKL(TINY_VAE)
+    unet = SDUNet(TINY_UNET)
+    x = jnp.zeros((1, 16, 16, 3))
+    vae_params = vae.init(jax.random.PRNGKey(0), x, jax.random.PRNGKey(1))["params"]
+    lat0 = jnp.zeros((1, 8, 8, 4))
+    ctx0 = jnp.zeros((1, 8, 16))
+    unet_params = unet.init(
+        jax.random.PRNGKey(2), lat0, jnp.zeros((1,), jnp.int32), ctx0
+    )["params"]
+    return StableDiffusionDecoder(
+        vae_params, unet_params, clip_dim=32, n_tokens=8,
+        unet_cfg=TINY_UNET, vae_cfg=TINY_VAE, dtype=jnp.float32,
+        int8=True, timesteps=timesteps,
+    )
+
+
+def test_sd_calibration_uses_schedule_fractions(monkeypatch):
+    """StableDiffusionDecoder.calibrate_int8_scales must calibrate at
+    FRACTIONS of the decoder's own schedule length (the round-2 pixel-path
+    fix, mirrored): a timesteps=50 model calibrates at t in {48, 25, 2},
+    never at the absolute 1000-schedule points {950, 500, 50} which lie
+    outside its sampling range."""
+    import clip_codec_tpu.ops.int8 as int8mod
+
+    dec = _tiny_sd_decoder(timesteps=50)
+    seen = []
+    real = int8mod.calibrate_int8
+
+    def spy(apply_fn, variables, *batches):
+        seen.extend(int(np.asarray(b[1])[0]) for b in batches)
+        return real(apply_fn, variables, *batches)
+
+    monkeypatch.setattr(int8mod, "calibrate_int8", spy)
+    z = jnp.asarray(np.random.default_rng(0).standard_normal((1, 32)), jnp.float32)
+    dec.calibrate_int8_scales(z, (1, 8, 8, 4))
+    # cond + uncond context at each of the 95%/50%/5% schedule points
+    assert seen == [48, 48, 25, 25, 2, 2]
+    assert all(t < 50 for t in seen)
+    assert jax.tree_util.tree_leaves(dec.unet_quant), "no scales recorded"
+
+
+def test_sd_short_schedule_sampling_stays_in_range():
+    """A short-schedule decoder must build its DDIM grid from its OWN
+    schedule length (timesteps plumbed into _cfg_ddim_sample), so the UNet
+    never sees t >= T."""
+    from clip_codec_tpu.models.sd.decoder import sd_ddim_timesteps
+
+    dec = _tiny_sd_decoder(timesteps=50)
+    assert dec.timesteps == 50
+    assert dec.tables.alphas_cumprod.shape == (50,)
+    ts = sd_ddim_timesteps(5, 50)
+    assert ts.max() < 50 and ts.min() >= 0
+    # end-to-end: one tiny sample through the real jitted path
+    z = jnp.asarray(np.random.default_rng(1).standard_normal((1, 32)), jnp.float32)
+    dec.calibrate_int8_scales(z, (1, 8, 8, 4))
+    img = dec.sample(z, (1, 8, 8, 4), steps=5, guidance_scale=1.5)
+    assert img.shape == (1, 16, 16, 3)
+    assert np.isfinite(np.asarray(img)).all()
