@@ -1,4 +1,11 @@
-from .ivf import IVFIndex, build_ivf_index, build_ivf_index_u8, kmeans
+from .ivf import (
+    IVFIndex,
+    ShardedIVFIndex,
+    build_ivf_index,
+    build_ivf_index_u8,
+    kmeans,
+    shard_ivf_index,
+)
 from .search import (
     FlatIPIndex,
     ShardedFlatIPIndex,
@@ -16,5 +23,6 @@ __all__ = [
     "U8FlatIPIndex", "build_index_u8",
     "ShardedFlatIPIndex", "build_sharded_index",
     "ShardedU8FlatIPIndex", "build_sharded_index_u8",
-    "IVFIndex", "build_ivf_index", "build_ivf_index_u8", "kmeans",
+    "IVFIndex", "ShardedIVFIndex", "build_ivf_index", "build_ivf_index_u8",
+    "kmeans", "shard_ivf_index",
 ]

@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["IVFIndex", "build_ivf_index", "build_ivf_index_u8", "kmeans"]
+__all__ = ["IVFIndex", "ShardedIVFIndex", "build_ivf_index", "build_ivf_index_u8", "kmeans", "shard_ivf_index"]
 
 
 # ------------------------------------------------------------------ k-means
@@ -382,4 +382,137 @@ def build_ivf_index_u8(
         nprobe=max(1, min(int(nprobe), nlist)),
         scale=jnp.asarray(scale), zero=jnp.asarray(zero),
         list_inv=jnp.asarray(list_inv),
+    )
+
+
+# --------------------------------------------------------------- multi-chip
+
+
+def _sharded_ivf_candidates(mesh, centroids, lists, list_ids, list_inv,
+                            scale, zero, q, k: int, nprobe: int):
+    """Per-shard IVF probe inside a ``shard_map``: every shard computes the
+    SAME global top-``nprobe`` probe set from the replicated centroids
+    (deterministic), gathers only the probed lists it OWNS (the rest are
+    masked to id −1), and returns its local top candidates. The union of
+    owned lists across shards is exactly the single-device probe set, so the
+    merged hits are identical to :class:`IVFIndex` — sharding buys HBM
+    capacity (rows split S ways), not a different ANN."""
+    from jax.sharding import PartitionSpec as P
+
+    n_sh = mesh.shape["data"]
+    local_nlist = lists.shape[0] // n_sh
+    cap = lists.shape[1]
+    kk = min(k, nprobe * cap)
+    u8 = list_inv is not None
+
+    def local(cent, lists_l, ids_l, inv_l, q_l):
+        cscores = q_l @ cent.T                      # (Q, nlist_real)
+        _, probe = jax.lax.top_k(cscores, nprobe)   # global list ids
+        base = jax.lax.axis_index("data").astype(jnp.int32) * local_nlist
+        lp = probe - base
+        own = (lp >= 0) & (lp < local_nlist)        # (Q, nprobe)
+        lpc = jnp.clip(lp, 0, local_nlist - 1)
+        cand = lists_l[lpc]                         # (Q, nprobe, cap, D)
+        ids = jnp.where(own[..., None], ids_l[lpc], -1)
+        if u8:
+            qs = q_l * scale[None, :]
+            qz = q_l @ zero
+            sims = jnp.einsum("qd,qpcd->qpc", qs, cand.astype(jnp.float32))
+            sims = (sims + qz[:, None, None]) * inv_l[lpc]
+        else:
+            sims = jnp.einsum("qd,qpcd->qpc", q_l, cand)
+        sims = jnp.where(ids >= 0, sims, -jnp.inf)
+        nq = q_l.shape[0]
+        s, j = jax.lax.top_k(sims.reshape(nq, -1), kk)
+        return s, jnp.take_along_axis(ids.reshape(nq, -1), j, axis=1)
+
+    inv_arg = list_inv if u8 else jnp.zeros_like(list_ids, jnp.float32)
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P("data", None, None), P("data", None),
+                  P("data", None), P()),
+        out_specs=(P(None, "data"), P(None, "data")),
+        check_vma=False,
+    )
+    return jax.jit(fn)(centroids, lists, list_ids, inv_arg, q)
+
+
+@dataclass
+class ShardedIVFIndex:
+    """IVF index with the inverted lists row-sharded over a mesh's ``data``
+    axis — the >HBM-store shape of :class:`IVFIndex` (same hits; the sharded
+    flat index covers exact search, this covers single-query latency).
+    Centroids are replicated (nlist × D is small); fp32 and uint8-resident
+    list storage both supported (``scale``/``zero``/``list_inv`` set = u8).
+    Build with :func:`shard_ivf_index`."""
+
+    centroids: jax.Array   # (nlist_real, D) fp32, replicated
+    lists: jax.Array       # (nlist_padded, cap, D), sharded over 'data'
+    list_ids: jax.Array    # (nlist_padded, cap) int32, sharded; -1 = padding
+    ntotal: int
+    nlist_real: int
+    mesh: object
+    nprobe: int = 8
+    scale: jax.Array | None = None
+    zero: jax.Array | None = None
+    list_inv: jax.Array | None = None  # sharded over 'data' in u8 mode
+
+    def search(self, queries: np.ndarray, k: int, nprobe: int | None = None):
+        q = jnp.asarray(queries, jnp.float32)
+        if q.ndim == 1:
+            q = q[None]
+        nq = int(q.shape[0])
+        if self.ntotal == 0:
+            return np.zeros((nq, 0), np.float32), np.zeros((nq, 0), np.int32)
+        k = max(1, min(k, self.ntotal))
+        np_ = self.nprobe if nprobe is None else int(nprobe)
+        np_ = max(1, min(np_, self.nlist_real))
+        scores, ids = _sharded_ivf_candidates(
+            self.mesh, self.centroids, self.lists, self.list_ids,
+            self.list_inv, self.scale, self.zero, q, k, np_,
+        )
+        # host merge (candidate counts are k*n_shards — host-sized): every
+        # real list is owned by exactly one shard, so no dedup is needed
+        scores = np.asarray(scores)
+        ids = np.asarray(ids)
+        scores = np.where(ids >= 0, scores, -np.inf)
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+        rows = np.arange(nq)[:, None]
+        s, i = scores[rows, order], ids[rows, order]
+        i = np.where(np.isfinite(s), i, -1)  # FAISS semantics past the tail
+        s = np.where(np.isfinite(s), s, 0.0).astype(np.float32)
+        return s, i
+
+
+def shard_ivf_index(index: IVFIndex, mesh) -> ShardedIVFIndex:
+    """Row-shard an :class:`IVFIndex`'s inverted lists over ``mesh``'s
+    ``data`` axis (fp32 or u8). Lists are zero-padded to a multiple of the
+    shard count with id −1 rows, which are masked before ranking and can
+    never be probed (probe ids come from the unpadded centroids)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_sh = mesh.shape["data"]
+    lists = np.asarray(index.lists)
+    ids = np.asarray(index.list_ids)
+    nlist_real, cap, d = lists.shape
+    pad = (-nlist_real) % n_sh
+    if pad:
+        lists = np.concatenate([lists, np.zeros((pad, cap, d), lists.dtype)])
+        ids = np.concatenate([ids, np.full((pad, cap), -1, np.int32)])
+    put = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
+    inv = None
+    if index.list_inv is not None:
+        inv = np.asarray(index.list_inv)
+        if pad:
+            inv = np.concatenate([inv, np.zeros((pad, cap), np.float32)])
+        inv = put(inv, P("data", None))
+    return ShardedIVFIndex(
+        centroids=put(np.asarray(index.centroids), P()),
+        lists=put(lists, P("data", None, None)),
+        list_ids=put(ids, P("data", None)),
+        ntotal=index.ntotal, nlist_real=nlist_real, mesh=mesh,
+        nprobe=index.nprobe,
+        scale=None if index.scale is None else put(np.asarray(index.scale), P()),
+        zero=None if index.zero is None else put(np.asarray(index.zero), P()),
+        list_inv=inv,
     )

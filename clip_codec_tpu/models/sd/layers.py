@@ -142,17 +142,71 @@ class GEGLU(nn.Module):
         return a * nn.gelu(g, approximate=False)
 
 
+class _LNParams(nn.Module):
+    """Declares ``nn.LayerNorm``'s exact param tree (scale ones, bias zeros)
+    without running the op — lets a fused kernel own the compute while any
+    checkpoint keeps loading unchanged."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        return s, b
+
+
+class _DenseParams(nn.Module):
+    """Declares ``nn.Dense``'s exact param tree (lecun_normal kernel first,
+    zeros bias second — same creation order, so the same rng stream yields
+    the same fresh-init values)."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.features), jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return k, b
+
+
+class _GEGLUParams(nn.Module):
+    """Param tree of :class:`GEGLU` (``proj_h``/``proj_g``) without compute."""
+
+    dim_out: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        wh, bh = _DenseParams(self.dim_out, self.in_features, name="proj_h")()
+        wg, bg = _DenseParams(self.dim_out, self.in_features, name="proj_g")()
+        return wh, bh, wg, bg
+
+
 class BasicTransformerBlock(nn.Module):
-    """LN -> self-attn -> LN -> cross-attn(context) -> LN -> GEGLU MLP."""
+    """LN -> self-attn -> LN -> cross-attn(context) -> LN -> GEGLU MLP.
+
+    The MLP tail (``norm3 -> ff_geglu -> ff_out -> residual``) runs as ONE
+    fused Pallas kernel on TPU when the flash knob is on and the block is
+    not in int8 mode (:mod:`clip_codec_tpu.ops.pallas_mlp`): under XLA the
+    4x-width GEGLU hidden is materialized to HBM twice per block. The param
+    tree is IDENTICAL either way (declared by the ``_*Params`` holders), so
+    checkpoints and the TP sharding rules are oblivious to the switch."""
 
     dim: int
     heads: int
     dtype: Dtype = jnp.float32
     flash: Optional[bool] = None
     int8: Optional[bool] = None
+    fused_mlp: Optional[bool] = None  # None = follow the flash knob
 
     @nn.compact
     def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
+        from ...ops.groupnorm import flash_enabled
         from ...ops.int8 import dense_module
 
         kw = dict(dtype=self.dtype, flash=self.flash, int8=self.int8)
@@ -162,9 +216,27 @@ class BasicTransformerBlock(nn.Module):
         x = x + CrossAttention(self.dim, self.heads, name="attn2", **kw)(
             nn.LayerNorm(dtype=self.dtype, name="norm2")(x), context
         )
+        Dense = dense_module(self.int8)
+        use_fused = self.fused_mlp
+        if use_fused is None:
+            from ...ops.groupnorm import fused_mlp_enabled
+
+            use_fused = (
+                fused_mlp_enabled()
+                and (flash_enabled() if self.flash is None else self.flash)
+                and Dense is nn.Dense
+            )
+        if use_fused:
+            from ...ops.pallas_mlp import transformer_mlp
+
+            lns, lnb = _LNParams(self.dim, name="norm3")()
+            wh, bh, wg, bg = _GEGLUParams(self.dim * 4, self.dim, name="ff_geglu")()
+            wo, bo = _DenseParams(self.dim, self.dim * 4, name="ff_out")()
+            y = transformer_mlp(x.astype(self.dtype), lns, lnb, wh, bh, wg, bg, wo)
+            return x + y + bo.astype(self.dtype)
         y = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
         y = GEGLU(self.dim * 4, dtype=self.dtype, int8=self.int8, name="ff_geglu")(y)
-        y = dense_module(self.int8)(self.dim, dtype=self.dtype, name="ff_out")(y)
+        y = Dense(self.dim, dtype=self.dtype, name="ff_out")(y)
         return x + y
 
 
@@ -179,6 +251,7 @@ class Transformer2D(nn.Module):
     dtype: Dtype = jnp.float32
     flash: Optional[bool] = None
     int8: Optional[bool] = None
+    fused_mlp: Optional[bool] = None  # None = follow the flash knob
 
     @nn.compact
     def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
@@ -194,7 +267,7 @@ class Transformer2D(nn.Module):
         for i in range(self.depth):
             h = BasicTransformerBlock(
                 self.dim, self.heads, dtype=self.dtype, flash=self.flash,
-                int8=self.int8, name=f"block_{i}",
+                int8=self.int8, fused_mlp=self.fused_mlp, name=f"block_{i}",
             )(h, context)
         h = h.reshape(B, H, W, self.dim)
         h = Conv(C, (1, 1), dtype=self.dtype, name="proj_out")(h)

@@ -64,6 +64,11 @@ class SDUNet(nn.Module):
     # projections + GEGLU + resnet/up/down convs; conv_in/conv_out stay fp,
     # the standard first/last-layer exemption). None = process default.
     int8: "bool | None" = None
+    # Fused LN->GEGLU->out-proj Pallas kernel in the transformer blocks
+    # (ops/pallas_mlp.py). None = follow the flash knob; its custom
+    # partitioning understands both DP rows and Megatron column-sharded
+    # GEGLU weights (one psum per MLP, same as the unfused path).
+    fused_mlp: "bool | None" = None
     # Rematerialize resnet/transformer blocks in the backward pass — the
     # memory lever for adapter training (backprop through this frozen 860M
     # tower at 512px latents); identical math, forward-only unaffected.
@@ -94,7 +99,7 @@ class SDUNet(nn.Module):
             for j in range(c.layers_per_block):
                 x = RES(ch, c.temb_dim, dtype=self.dtype, int8=self.int8, name=f"down_{i}_res_{j}")(x, temb)
                 if has_attn[i]:
-                    x = TRF(ch, c.heads, dtype=self.dtype, flash=self.flash, int8=self.int8, name=f"down_{i}_attn_{j}")(x, context)
+                    x = TRF(ch, c.heads, dtype=self.dtype, flash=self.flash, int8=self.int8, fused_mlp=self.fused_mlp, name=f"down_{i}_attn_{j}")(x, context)
                 skips.append(x)
             if i < n_blocks - 1:
                 x = Downsample2D(ch, dtype=self.dtype, int8=self.int8, name=f"down_{i}_ds")(x)
@@ -103,7 +108,7 @@ class SDUNet(nn.Module):
         # ----- mid
         ch = c.block_out[-1]
         x = RES(ch, c.temb_dim, dtype=self.dtype, int8=self.int8, name="mid_res_0")(x, temb)
-        x = TRF(ch, c.heads, dtype=self.dtype, flash=self.flash, int8=self.int8, name="mid_attn")(x, context)
+        x = TRF(ch, c.heads, dtype=self.dtype, flash=self.flash, int8=self.int8, fused_mlp=self.fused_mlp, name="mid_attn")(x, context)
         x = RES(ch, c.temb_dim, dtype=self.dtype, int8=self.int8, name="mid_res_1")(x, temb)
 
         # ----- up path (concat skips, layers_per_block+1 resnets per block)
@@ -113,7 +118,7 @@ class SDUNet(nn.Module):
                 x = jnp.concatenate([x, skips.pop()], axis=-1)
                 x = RES(ch, c.temb_dim, dtype=self.dtype, int8=self.int8, name=f"up_{k}_res_{j}")(x, temb)
                 if has_attn[i]:
-                    x = TRF(ch, c.heads, dtype=self.dtype, flash=self.flash, int8=self.int8, name=f"up_{k}_attn_{j}")(x, context)
+                    x = TRF(ch, c.heads, dtype=self.dtype, flash=self.flash, int8=self.int8, fused_mlp=self.fused_mlp, name=f"up_{k}_attn_{j}")(x, context)
             if i > 0:
                 x = Upsample2D(ch, dtype=self.dtype, int8=self.int8, name=f"up_{k}_us")(x)
 

@@ -5,7 +5,15 @@ hot elementwise chains get explicit fusion points so a Pallas implementation
 can be swapped in where profiling shows it beats XLA's automatic fusion.
 """
 
-from .groupnorm import flash_enabled, group_norm, group_norm_silu, set_flash_attention, set_pallas
+from .groupnorm import (
+    flash_enabled,
+    fused_mlp_enabled,
+    group_norm,
+    group_norm_silu,
+    set_flash_attention,
+    set_fused_mlp,
+    set_pallas,
+)
 from .int8 import calibrate_int8, int8_enabled, set_int8_conv
 
 
@@ -16,6 +24,7 @@ def enable_pallas(enabled: bool = True) -> None:
 
 __all__ = [
     "group_norm", "group_norm_silu", "enable_pallas", "set_pallas",
-    "set_flash_attention", "flash_enabled", "set_int8_conv", "int8_enabled",
+    "set_flash_attention", "flash_enabled", "set_fused_mlp", "fused_mlp_enabled",
+    "set_int8_conv", "int8_enabled",
     "calibrate_int8",
 ]

@@ -45,6 +45,23 @@ def flash_enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
+_USE_FUSED_MLP = None  # None = follow the flash knob
+
+
+def set_fused_mlp(enabled) -> None:
+    """Process default for the fused transformer-MLP kernel
+    (ops/pallas_mlp.py): True/False forces, None restores auto (= the flash
+    knob). Per-model override: ``SDUNet(fused_mlp=...)``."""
+    global _USE_FUSED_MLP
+    _USE_FUSED_MLP = enabled
+
+
+def fused_mlp_enabled() -> bool:
+    if _USE_FUSED_MLP is not None:
+        return bool(_USE_FUSED_MLP)
+    return flash_enabled()
+
+
 def _gn_stats(x32: jax.Array, groups: int) -> Tuple[jax.Array, jax.Array]:
     B, H, W, C = x32.shape
     xg = x32.reshape(B, H, W, groups, C // groups)

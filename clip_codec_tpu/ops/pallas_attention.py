@@ -24,6 +24,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -31,7 +32,7 @@ NEG_INF = -1e30
 
 
 def _pick_tile(n: int, target: int = 512) -> int:
-    for t in (target, 512, 256, 128, 64, 32, 16, 8):
+    for t in (target, 1024, 512, 256, 128, 64, 32, 16, 8):
         if n % t == 0 and t <= n:
             return t
     return n
@@ -43,6 +44,20 @@ def _tile_target(d: int) -> int:
     dominates — 1024-tiles measured 1.9x over 512-tiles at (64, 4096, 40),
     the SD-1.5 64x64 self-attention shape."""
     return 1024 if d <= 64 else 512
+
+
+def _ktile_target(d: int) -> int:
+    """Forward K-tile target. STANDALONE the (1024, 2048) exp2 kernel beats
+    (1024, 1024) at the SD (64, 4096, 40) shape (3.70 vs 3.86 ms,
+    bench_attn_probe.py) — but IN CONTEXT (inside Transformer2D, with the
+    projections around it) tk=2048 regresses the whole block 5.90 -> 6.15 ms
+    (bench_mlp_probe.py): the doubled s/p VMEM footprint fights the
+    surrounding ops' scheduling. Square tiles kept — the standalone win does
+    not transfer."""
+    return _tile_target(d)
+
+
+LOG2E = float(np.log2(np.e))
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref, *, scale: float):
@@ -63,14 +78,21 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref, *,
     k = k_ref[0]  # (Tk, D)
     v = v_ref[0]  # (Tk, D)
 
+    # log2 domain throughout: exp(x) lowers to exp2(x * log2e), i.e. a hidden
+    # (Tq, Tk) multiply pass per tile. Folding log2e into the logits scale
+    # (fp32, in-kernel — folding into bf16 q would double the input rounding)
+    # and calling exp2 directly removes it: measured 4.07 -> 3.70 ms together
+    # with the wider k tiles at the SD (64, 4096, 40) shape. The HW
+    # transcendental itself is NOT beatable: a deg-2/3 polynomial exp2
+    # (floor/bitcast exponent assembly) measured 5.1 ms (bench_attn_probe.py).
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (Tq, Tk) fp32
+    ) * (scale * LOG2E)  # (Tq, Tk) fp32, log2-domain logits
 
     m_prev = m_ref[:, 0]  # (Tq,)
     m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
-    alpha = jnp.exp(m_prev - m_cur)  # rescale factor for old state
-    p = jnp.exp(s - m_cur[:, None])  # (Tq, Tk) fp32
+    alpha = jnp.exp2(m_prev - m_cur)  # rescale factor for old state
+    p = jnp.exp2(s - m_cur[:, None])  # (Tq, Tk) fp32
     l_cur = l_ref[:, 0] * alpha + jnp.sum(p, axis=1)
     # P·V in v's dtype (the FlashAttention-2 choice): row sums above stay
     # fp32, and for fp32 inputs nothing changes. A bf16-exp variant was
@@ -85,7 +107,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref, *,
     @pl.when(kk == nk - 1)
     def _flush():
         o_ref[0] = (acc_ref[...] / l_ref[:, 0][:, None]).astype(o_ref.dtype)
-        lse_ref[0, :, 0] = m_ref[:, 0] + jnp.log(l_ref[:, 0])
+        # natural-log lse on the API surface (backward converts back)
+        lse_ref[0, :, 0] = (m_ref[:, 0] + jnp.log2(l_ref[:, 0])) * (1.0 / LOG2E)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -106,7 +129,7 @@ def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array, scale: Optional[flo
     if scale is None:
         scale = 1.0 / float(D) ** 0.5
     tq = _pick_tile(N, _tile_target(D))
-    tk = _pick_tile(Nk, _tile_target(D))
+    tk = _pick_tile(Nk, _ktile_target(D))
     grid = (BH, N // tq, Nk // tk)
     kern = functools.partial(_flash_kernel, scale=float(scale))
     out, lse = pl.pallas_call(
@@ -168,11 +191,13 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref, dq_ref, acc_r
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
-    lse = lse_ref[0, :, 0]
+    lse2 = lse_ref[0, :, 0]  # lse * log2(e), precomputed outside
     dvec = dvec_ref[0, :, 0]
 
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
-    p = jnp.exp(s - lse[:, None])
+    # log2-domain p recompute (same value as exp(s*scale - lse), one fewer
+    # (Tq, Tk) multiply pass — see the forward kernel's note)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * (scale * LOG2E)
+    p = jnp.exp2(s - lse2[:, None])
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     ds = p * (dp - dvec[:, None])
     acc_ref[...] += jax.lax.dot_general(
@@ -198,11 +223,11 @@ def _bwd_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dvec_ref, dk_ref, dv_r
     v = v_ref[0]
     q = q_ref[0]
     do = do_ref[0]
-    lse = lse_ref[0, :, 0]
+    lse2 = lse_ref[0, :, 0]  # lse * log2(e)
     dvec = dvec_ref[0, :, 0]
 
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
-    p = jnp.exp(s - lse[:, None])  # (Tq, Tk) fp32
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * (scale * LOG2E)
+    p = jnp.exp2(s - lse2[:, None])  # (Tq, Tk) fp32
     dv_acc[...] += jax.lax.dot_general(
         p.astype(do.dtype), do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -235,7 +260,7 @@ def _flash_backward(q, k, v, out, lse, g, scale):
     tq = _pick_tile(N, _bwd_tile_target(D))
     tk = _pick_tile(Nk, _bwd_tile_target(D))
     dvec = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True)  # (BH, N, 1)
-    lse3 = lse[..., None]
+    lse3 = (lse * LOG2E)[..., None]  # log2-domain for the in-kernel exp2
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=float(scale)),

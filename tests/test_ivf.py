@@ -125,3 +125,67 @@ def test_search_index_interop(rng):
     hits = search_index(feats[11], ivf, paths, k=3)
     assert hits[0][0] == "img_11.png"
     assert hits[0][1] == pytest.approx(1.0, abs=1e-5)
+
+
+# --------------------------------------------------------------- multi-chip
+
+
+def _mesh(n):
+    import jax
+    from jax.sharding import Mesh
+
+    devs = jax.devices()[:n]
+    return Mesh(np.array(devs).reshape(len(devs)), ("data",))
+
+
+@pytest.mark.parametrize("n_shards,nlist", [(4, 16), (8, 16), (4, 10)])
+def test_sharded_ivf_matches_single_device(rng, n_shards, nlist):
+    """Row-sharded inverted lists return IDENTICAL hits to the single-device
+    IVF at every nprobe (the probe set is global; shards own disjoint
+    lists). nlist=10 over 4 shards exercises the padded-lists path."""
+    from clip_codec_tpu.index import build_ivf_index, shard_ivf_index
+
+    feats = _unit_rows(rng, 300, 32)
+    ix = build_ivf_index(feats, nlist=nlist, nprobe=4, seed=1)
+    sh = shard_ivf_index(ix, _mesh(n_shards))
+    q = _unit_rows(rng, 9, 32)
+    for nprobe in (1, 4, nlist):
+        s0, i0 = ix.search(q, 5, nprobe=nprobe)
+        s1, i1 = sh.search(q, 5, nprobe=nprobe)
+        np.testing.assert_array_equal(i0, i1)
+        np.testing.assert_allclose(s0, s1, atol=1e-5)
+
+
+def test_sharded_ivf_u8_matches_single_device(rng):
+    """u8-resident sharded IVF: same hits as the single-device u8 IVF."""
+    from clip_codec_tpu.codecs import fit_affine, quantize
+    from clip_codec_tpu.index import build_ivf_index_u8, shard_ivf_index
+
+    feats = _unit_rows(rng, 257, 16)  # odd count: padded rows in lists
+    scale, zero = fit_affine(feats)
+    codes = np.asarray(quantize(feats, scale, zero))
+    ix = build_ivf_index_u8(codes, np.asarray(scale), np.asarray(zero),
+                            nlist=12, nprobe=3, seed=2)
+    sh = shard_ivf_index(ix, _mesh(4))
+    q = _unit_rows(rng, 5, 16)
+    for nprobe in (2, 12):
+        s0, i0 = ix.search(q, 7, nprobe=nprobe)
+        s1, i1 = sh.search(q, 7, nprobe=nprobe)
+        np.testing.assert_array_equal(i0, i1)
+        np.testing.assert_allclose(s0, s1, atol=1e-5)
+
+
+def test_sharded_ivf_lists_actually_sharded(rng):
+    """The memory claim: each device holds nlist/S of the list rows."""
+    from clip_codec_tpu.index import build_ivf_index, shard_ivf_index
+
+    feats = _unit_rows(rng, 256, 16)
+    ix = build_ivf_index(feats, nlist=16, seed=0)
+    mesh = _mesh(8)
+    sh = shard_ivf_index(ix, mesh)
+    shards = sh.lists.addressable_shards
+    assert len(shards) == 8
+    assert all(s.data.shape[0] == sh.lists.shape[0] // 8 for s in shards)
+    # short-tail semantics survive sharding: k past the candidate count
+    s, i = sh.search(_unit_rows(rng, 2, 16), 9, nprobe=1)
+    assert i.shape == (2, 9)
