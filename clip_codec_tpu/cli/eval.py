@@ -26,8 +26,9 @@ def main() -> None:
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--eta", type=float, default=0.0)
-    ap.add_argument("--sampler", type=str, default="ddim", choices=("ddim", "dpmpp"),
-                    help="ddim (reference-parity) or dpmpp (DPM-Solver++(2M), eta=0 only)")
+    ap.add_argument("--sampler", type=str, default="ddim", choices=("ddim", "ddim_std", "dpmpp"),
+                    help="ddim (reference-parity), ddim_std (textbook strided DDIM), "
+                         "or dpmpp (DPM-Solver++(2M), eta=0 only)")
     ap.add_argument("--device", type=str, default=default_device())
     ap.add_argument("--out_json", type=str, default=None)
     ap.add_argument("--batch_size", type=int, default=8, help="DDIM reconstruction batch")

@@ -37,7 +37,7 @@ def main() -> None:
     ap.add_argument("--batch_size", type=int, default=None,
                     help="static serving batch baked into the artifact "
                          "(default: 16 pixel / 1 sd)")
-    ap.add_argument("--sampler", type=str, default="ddim", choices=("ddim", "dpmpp"))
+    ap.add_argument("--sampler", type=str, default="ddim", choices=("ddim", "ddim_std", "dpmpp"))
     ap.add_argument("--platforms", type=str, default=None,
                     help="comma-separated lowering targets, e.g. 'tpu,cpu' "
                          "(default: current backend only)")

@@ -30,9 +30,10 @@ def main() -> None:
                     help="U-Net base width (default: model_config.json next to --weights, else 128)")
     ap.add_argument("--ch_mult", type=str, default=None, help="U-Net channel multipliers")
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--sampler", type=str, default="ddim", choices=("ddim", "dpmpp"),
-                    help="ddim (reference-parity) or dpmpp (DPM-Solver++(2M): "
-                         "same quality at ~half the steps, eta=0 only)")
+    ap.add_argument("--sampler", type=str, default="ddim", choices=("ddim", "ddim_std", "dpmpp"),
+                    help="ddim (reference-parity), ddim_std (textbook strided DDIM — the "
+                         "reference form caps trained recon ~4 dB, see diffusion/ddim.py), "
+                         "or dpmpp (DPM-Solver++(2M): best quality per step, eta=0 only)")
     add_int8_flag(ap)
     args = ap.parse_args()
     apply_device_flag(args.device)

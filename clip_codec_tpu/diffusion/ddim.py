@@ -18,6 +18,19 @@ output contains NaNs — verified against the actual reference (torch CPU)
 which NaNs identically for ``eta=1`` on both schedules. Use ``eta=0``
 (the reference's default everywhere) or small eta.
 
+Deviations (a)+(c) are not just cosmetic: because (a) re-anchors every
+update at ``alphas_cumprod_prev[t]`` (one FINE step back) and (c) scales the
+noise direction by ``sqrt(al_bar_s)`` instead of ``sqrt(1 - al_bar_s)``, the
+final update (where (b) forces ``al_bar_s = 1``) emits ``x0_pred + eps`` —
+a full unit of predicted noise added onto the image. On trained models this
+caps reconstruction around ~4 dB PSNR regardless of step count (measured,
+docs/performance.md "sampler quality knee"). ``ddim_sample(standard=True)``
+— exposed as sampler name ``"ddim_std"`` — therefore also provides textbook
+strided DDIM (Song et al. 2021, eq. 12): target alpha-bar from the NEXT grid
+point, direction ``sqrt(1 - al_bar_s - sigma^2) * eps``, terminal target
+``al_bar = 1`` so the last update returns exactly ``x0_pred``. Default stays
+the reference-parity form.
+
 Where the reference runs a Python loop with two host syncs per step
 (``int(t.item())`` and a tensor bool at ``ddim.py:32,41``), here the whole
 trajectory is a single scan over precomputed per-step fp32 coefficients: the
@@ -47,21 +60,32 @@ def ddim_timestep_grid(timesteps: int, steps: int) -> np.ndarray:
     return np.linspace(timesteps - 1, 0, steps).astype(np.float32).astype(np.int64)
 
 
-def _step_coefficients(sched: NoiseSchedule, steps: int) -> Tuple[jax.Array, jax.Array, jax.Array]:
+def _step_coefficients(
+    sched: NoiseSchedule, steps: int, standard: bool = False
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Per-step ``(t, al_bar_t, al_bar_s)`` stacked for the scan (fp32).
 
     The timestep grid is static (host numpy); the table lookups are traced
     gathers so the schedule can be a jit argument.
+
+    ``standard=False`` (reference parity): ``al_bar_s`` is the full-schedule
+    previous alpha-bar at the CURRENT timestep (deviation (a)) with the final
+    entry forced to 1 (deviation (b)). ``standard=True``: ``al_bar_s`` is
+    alpha-bar at the NEXT coarse grid point — the textbook stride — with the
+    terminal target ``al_bar = 1``.
     """
     ts = ddim_timestep_grid(sched.timesteps, steps)
     t_stack = jnp.asarray(ts, dtype=jnp.int32)
     al_bar_t = sched.alphas_cumprod[t_stack]
-    al_bar_s = sched.alphas_cumprod_prev[t_stack]
-    al_bar_s = al_bar_s.at[-1].set(1.0)  # final step forces alpha_bar_prev = 1 (ddim.py:35)
+    if standard:
+        al_bar_s = jnp.concatenate([al_bar_t[1:], jnp.ones((1,), jnp.float32)])
+    else:
+        al_bar_s = sched.alphas_cumprod_prev[t_stack]
+        al_bar_s = al_bar_s.at[-1].set(1.0)  # final step forces alpha_bar_prev = 1 (ddim.py:35)
     return t_stack, al_bar_t, al_bar_s
 
 
-@partial(jax.jit, static_argnames=("model_fn", "shape", "steps", "stochastic"))
+@partial(jax.jit, static_argnames=("model_fn", "shape", "steps", "stochastic", "standard"))
 def _ddim_sample(
     model_fn: ModelFn,
     sched: NoiseSchedule,
@@ -73,13 +97,14 @@ def _ddim_sample(
     x_T: Optional[jax.Array],
     model_params,
     stochastic: bool,
+    standard: bool,
 ) -> jax.Array:
     if rng is None:
         rng = jax.random.PRNGKey(0)
     rng, init_rng = jax.random.split(rng)
     x = jax.random.normal(init_rng, shape, dtype=jnp.float32) if x_T is None else x_T.astype(jnp.float32)
 
-    t_stack, abt_stack, abs_stack = _step_coefficients(sched, steps)
+    t_stack, abt_stack, abs_stack = _step_coefficients(sched, steps, standard)
 
     def step(carry, per_step):
         x, rng = carry
@@ -92,7 +117,12 @@ def _ddim_sample(
         x0_pred = (x - jnp.sqrt(1.0 - abt) * eps) / jnp.sqrt(abt)
         x0_pred = jnp.clip(x0_pred, -1.0, 1.0)
         sigma = eta * jnp.sqrt((1.0 - ab_s) / (1.0 - abt) * (1.0 - abt / ab_s))
-        dir_xt = jnp.sqrt(ab_s - sigma**2) * eps  # nonstandard, see (c)
+        if standard:
+            # Song et al. 2021 eq. 12; the relu guards eta=1 rounding where
+            # 1 - ab_s - sigma^2 can land a hair below zero.
+            dir_xt = jnp.sqrt(jax.nn.relu(1.0 - ab_s - sigma**2)) * eps
+        else:
+            dir_xt = jnp.sqrt(ab_s - sigma**2) * eps  # nonstandard, see (c)
         x_new = jnp.sqrt(ab_s) * x0_pred + dir_xt
         if stochastic:
             rng, nrng = jax.random.split(rng)
@@ -114,11 +144,15 @@ def ddim_sample(
     rng: Optional[jax.Array] = None,
     x_T: Optional[jax.Array] = None,
     model_params=None,
+    standard: bool = False,
 ) -> jax.Array:
     """Sample images of ``shape`` = (B, H, W, C) conditioned on ``z`` (B, D).
 
     ``rng`` seeds both the initial noise (when ``x_T`` is None) and, for
     ``eta > 0``, the per-step stochastic noise injection.
+
+    ``standard=True`` switches to textbook strided DDIM (module docstring);
+    the default replicates the reference sampler bit-for-bit in intent.
 
     ``eta`` is a TRACED argument: only ``eta == 0`` vs ``eta > 0`` selects a
     compiled specialization (the noise-injection branch must be static), so
@@ -132,16 +166,21 @@ def ddim_sample(
     """
     return _ddim_sample(
         model_fn, sched, z, tuple(shape), steps, jnp.float32(eta), rng, x_T,
-        model_params, bool(eta > 0),
+        model_params, bool(eta > 0), bool(standard),
     )
 
 
 @dataclass
 class DDIMSampler:
-    """Class wrapper mirroring the reference API (``DDIMSampler(sch, eta).sample``)."""
+    """Class wrapper mirroring the reference API (``DDIMSampler(sch, eta).sample``).
+
+    ``standard=True`` selects the textbook strided update (sampler name
+    ``"ddim_std"`` in :func:`make_sampler`); default is reference parity.
+    """
 
     sched: NoiseSchedule
     eta: float = 0.0
+    standard: bool = False
 
     def sample(
         self,
@@ -155,4 +194,5 @@ class DDIMSampler:
         model_params=None,
     ) -> jax.Array:
         del cfg_scale  # accepted and ignored, as in the reference (ddim.py:22)
-        return ddim_sample(model_fn, self.sched, z, tuple(shape), steps, self.eta, rng, x_T, model_params)
+        return ddim_sample(model_fn, self.sched, z, tuple(shape), steps, self.eta,
+                           rng, x_T, model_params, standard=self.standard)

@@ -4,8 +4,15 @@ A deterministic second-order multistep solver for the diffusion
 probability-flow ODE (Lu et al. 2022, "DPM-Solver++", arXiv:2211.01095) in
 the data-prediction formulation with the "midpoint" second-order term — the
 same algorithm the diffusers ``DPMSolverMultistepScheduler`` defaults to.
-It reaches DDIM-50-class sample quality in roughly half the model
-evaluations, and the model evaluations are the entire serving cost.
+Measured on a trained model (docs/performance.md "Sampler quality knee"):
+dpmpp matches-or-beats textbook ``ddim_std`` at EVERY step count — already
+at 5 steps it exceeds ddim_std-50 by +0.9 dB and the reference's own
+DDIM-50 by +7.9 dB — and the model evaluations are the entire serving cost,
+so ``--sampler dpmpp --steps 10`` serves ~5x faster than DDIM-50 at
+strictly better measured quality. Caveat (measured, same doc): on an
+UNDERTRAINED model the 2M extrapolation amplifies model error and
+first-order ``ddim_std`` at 25-50 steps wins by ~2.5 dB — prefer
+``ddim_std`` for mid-training eval, ``dpmpp`` for converged models.
 
 The reference ships only its (nonstandard) DDIM sampler
 (``diffusion/ddim.py:14-46``); this module is additional surface. Execution

@@ -71,6 +71,20 @@ def test_reconstruct_cli_dpmpp(trained_store, monkeypatch):
     assert Image.open(out).size == (16, 16)
 
 
+def test_reconstruct_cli_ddim_std(trained_store, monkeypatch):
+    from clip_codec_tpu.cli.reconstruct_diffusion import main
+
+    store, ckpt, tmp = trained_store
+    out = tmp / "recon_std.png"
+    _run_cli(monkeypatch, main, [
+        "--store_dir", str(store), "--bitstream", str(store / "im0.clp"),
+        "--weights", str(ckpt), "--out", str(out), "--steps", "5",
+        "--size", "16", "--device", "cpu", "--base", "8", "--ch_mult", "1,2",
+        "--sampler", "ddim_std",
+    ])
+    assert Image.open(out).size == (16, 16)
+
+
 def test_reconstruct_cli_int8(trained_store, monkeypatch):
     """--int8 runs the quantized serving path end-to-end and resets cleanly."""
     from clip_codec_tpu.cli.reconstruct_diffusion import main

@@ -202,3 +202,104 @@ def test_eta_sweep_does_not_recompile(rng):
     assert added <= 2, f"eta sweep added {added} compiled programs"
     # distinct eta still changes the trajectory (the value is really traced)
     assert not np.allclose(outs[0.1], outs[0.2])
+
+
+def _np_ddim_std(sched, z, shape, steps, x_init, model=_dummy_model_np):
+    """Numpy oracle for the TEXTBOOK strided update (Song et al. 2021 eq. 12,
+    eta=0): target alpha-bar from the NEXT grid point, terminal target 1,
+    direction sqrt(1 - ab_s) * eps."""
+    ac = np.asarray(sched.alphas_cumprod)
+    ts = ddim_timestep_grid(sched.timesteps, steps)
+    x = x_init.copy()
+    for i in range(steps):
+        t = ts[i]
+        eps = model(x, z, np.full((shape[0],), t))
+        abt = ac[t]
+        ab_s = ac[ts[i + 1]] if i < steps - 1 else 1.0
+        x0 = np.clip((x - np.sqrt(1 - abt) * eps) / np.sqrt(abt), -1, 1)
+        x = np.sqrt(ab_s) * x0 + np.sqrt(1 - ab_s) * eps
+    return x
+
+
+def test_standard_ddim_matches_numpy_loop(rng):
+    import jax.numpy as jnp
+
+    sched = NoiseSchedule.create(1000, "cosine")
+    B, H, W, C = 2, 8, 8, 3
+    z = rng.standard_normal((B, 512)).astype(np.float32)
+    x_init = rng.standard_normal((B, H, W, C)).astype(np.float32)
+
+    def model_fn(x, zz, t):
+        zb = jnp.tanh(zz.mean(axis=-1))[:, None, None, None]
+        tt = (t.astype(jnp.float32) / 1000.0)[:, None, None, None]
+        return 0.1 * x + zb * 0.05 + 0.3 * tt
+
+    for steps in (1, 7, 50):
+        ours = np.asarray(ddim_sample(model_fn, sched, z, (B, H, W, C), steps,
+                                      0.0, None, x_T=jnp.asarray(x_init), standard=True))
+        oracle = _np_ddim_std(sched, z, (B, H, W, C), steps, x_init)
+        np.testing.assert_allclose(ours, oracle, rtol=1e-5, atol=1e-5)
+
+
+def test_standard_ddim_recovers_delta_data_reference_form_diverges():
+    """The quantified reference-sampler flaw (docs/performance.md "sampler
+    quality knee"): on the delta-data oracle (model emits the eps exactly
+    consistent with a fixed x0) textbook DDIM recovers x0 to fp32 roundoff at
+    ANY step count, while the reference's nonstandard update (deviations
+    (a)+(c), final step emits x0_pred + eps) diverges with step count."""
+    import jax
+    import jax.numpy as jnp
+
+    sched = NoiseSchedule.create(100)
+    target = jnp.asarray(
+        np.random.default_rng(0).uniform(-0.9, 0.9, (2, 8, 8, 3)).astype(np.float32))
+
+    def model_fn(x, z, t):
+        ab = sched.alphas_cumprod[t][:, None, None, None]
+        return (x - jnp.sqrt(ab) * target) / jnp.sqrt(1 - ab)
+
+    z = jnp.zeros((2, 4))
+    prev_ref_err = 0.0
+    for steps in (5, 20, 50):
+        out_std = ddim_sample(model_fn, sched, z, target.shape, steps, 0.0,
+                              jax.random.PRNGKey(0), standard=True)
+        assert float(jnp.abs(out_std - target).max()) < 1e-5
+        out_ref = ddim_sample(model_fn, sched, z, target.shape, steps, 0.0,
+                              jax.random.PRNGKey(0), standard=False)
+        ref_err = float(jnp.abs(out_ref - target).max())
+        assert ref_err > 1.0  # the parity form cannot reconstruct
+        assert ref_err > prev_ref_err  # and it worsens with more steps
+        prev_ref_err = ref_err
+
+
+def test_make_sampler_ddim_std(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from clip_codec_tpu.diffusion import make_sampler
+
+    sched = NoiseSchedule.create(100, "linear")
+    target = jnp.asarray(rng.uniform(-0.9, 0.9, (2, 8, 8, 3)).astype(np.float32))
+
+    def model_fn(x, z, t):
+        ab = sched.alphas_cumprod[t][:, None, None, None]
+        return (x - jnp.sqrt(ab) * target) / jnp.sqrt(1 - ab)
+
+    s = make_sampler("ddim_std", sched)
+    out = s.sample(model_fn, jnp.zeros((2, 4)), (2, 8, 8, 3), steps=10,
+                   rng=jax.random.PRNGKey(0))
+    assert float(jnp.abs(out - target).max()) < 1e-5
+    # eta plumbs through: with an imperfect model, stochastic standard
+    # sampling is finite (no reference NaN flaw: 1 - ab_s - sigma^2 >= 0 at
+    # eta=1) and differs from the deterministic run. (On the delta-data
+    # oracle above eta is invisible — later steps correct injected noise and
+    # the final step's sigma is 0 — so probe with the pseudo-model.)
+    def rough_fn(x, z, t):
+        return 0.1 * x + 0.3 * (t.astype(jnp.float32) / 100.0)[:, None, None, None]
+
+    det = np.asarray(make_sampler("ddim_std", sched).sample(
+        rough_fn, jnp.zeros((2, 4)), (2, 8, 8, 3), steps=10, rng=jax.random.PRNGKey(0)))
+    sto = np.asarray(make_sampler("ddim_std", sched, eta=1.0).sample(
+        rough_fn, jnp.zeros((2, 4)), (2, 8, 8, 3), steps=10, rng=jax.random.PRNGKey(0)))
+    assert np.isfinite(sto).all()  # the parity form NaNs at eta=1
+    assert float(np.abs(sto - det).max()) > 1e-4
