@@ -62,8 +62,9 @@ def _static_calibrated(net, params, rng, z):
     over noise-scale inputs at (0.95, 0.5, 0.05) of the 1000-step schedule."""
     from clip_codec_tpu.ops import calibrate_int8
 
-    cal_x = jnp.asarray(rng.standard_normal((4, SIZE, SIZE, 3)), jnp.float32)
-    batches = [(cal_x, z[:4], jnp.full((4,), tt, jnp.int32)) for tt in (950, 500, 50)]
+    nb = min(4, z.shape[0])  # BATCH < 4 (e.g. the 1024px config) calibrates at BATCH
+    cal_x = jnp.asarray(rng.standard_normal((nb, SIZE, SIZE, 3)), jnp.float32)
+    batches = [(cal_x, z[:nb], jnp.full((nb,), tt, jnp.int32)) for tt in (950, 500, 50)]
     return {**params, "quant": calibrate_int8(net.apply, params, *batches)}
 
 
