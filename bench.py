@@ -82,6 +82,13 @@ def main() -> None:
     int8_mode = int8_env not in ("", "0")
     int8_static = int8_env == "static"
 
+    # Space-to-batch folding A/B handle (math-identical; default on).
+    if os.environ.get("CLIP_CODEC_BENCH_FOLD", "1") in ("0", "false"):
+        from clip_codec_tpu.ops import set_fold_spatial
+
+        set_fold_spatial(False)
+        print("[bench] spatial fold disabled", file=sys.stderr)
+
     rng = np.random.default_rng(0)
     net = CLIPCondUNet(z_dim=512, base=128, ch_mult=(1, 2, 2), img_ch=3,
                        dtype=jnp.bfloat16, int8=True if int8_mode else None)

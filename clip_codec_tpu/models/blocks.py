@@ -46,25 +46,69 @@ class ResBlock(nn.Module):
     (reference ``models/blocks.py:28-44``):
 
         x + conv2(silu(gn2( film( conv1(silu(gn1(x))), h ) )))
+
+    ``fold_spatial``: space-to-batch folding for the huge-spatial/low-batch
+    regime where XLA's conv row-tiling collapses (measured 28.8% MFU at
+    B=2 @1024 vs 57-65% folded — docs/performance.md 1024px row). "auto"
+    folds when :func:`ops.spatial_fold.fold_chunks` says the shape is in the
+    win regime (H >= 1024, B <= 4); an int forces that chunk count; 1
+    disables. The parameter tree is IDENTICAL either way (same conv kernels,
+    only the H padding mode differs), and outputs match to normal bf16
+    reassociation noise (tests/test_spatial_fold.py).
     """
 
     features: int
     groups: int = 8
     dtype: Dtype = jnp.float32
     int8: "bool | None" = None  # None = process default (ops.set_int8_conv)
+    fold_spatial: "str | int" = "auto"
 
     @nn.compact
     def __call__(self, x: jax.Array, h: jax.Array) -> jax.Array:
         from ..ops.int8 import conv_module
+        from ..ops import spatial_fold as sf
 
         Conv = conv_module(self.int8)  # nn.Conv, or Int8Conv in int8 serving mode
         g = min(self.groups, self.features)
+        chunks = (
+            sf.fold_chunks(x.shape) if self.fold_spatial == "auto"
+            else int(self.fold_spatial)
+        )
+        if chunks > 1:
+            return self._folded(x, h, Conv, g, chunks)
         y = group_norm_silu(x, self.param_group("norm1", self.features), groups=g)
         y = Conv(self.features, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv1")(y)
         y = FiLM(self.features, dtype=self.dtype, name="film")(y, h)
         y = group_norm_silu(y, self.param_group("norm2", self.features), groups=g)
         y = Conv(self.features, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv2")(y)
         return x + y
+
+    def _folded(self, x: jax.Array, h: jax.Array, Conv, g: int, chunks: int) -> jax.Array:
+        """Space-to-batch body: ONE halo fold (2 rows) feeds both VALID-in-H
+        convs (halo 2 -> 1 -> 0); GN stats stay per-image; image-edge halo
+        rows are re-zeroed before each conv to reproduce SAME padding on the
+        post-norm tensor. Same submodule names/params as the direct path."""
+        from ..ops import spatial_fold as sf
+        from ..ops.groupnorm import _gn_stats
+
+        B = x.shape[0]
+        s1, b1 = self.param_group("norm1", self.features)
+        # gn1 stats from the unfolded input (one fp32 reduction, no
+        # materialization of a normalized full-res tensor).
+        m1, v1 = _gn_stats(x.astype(jnp.float32), g)
+        m1 = jnp.repeat(m1.reshape(B, 1, 1, g, 1), chunks, axis=0)
+        v1 = jnp.repeat(v1.reshape(B, 1, 1, g, 1), chunks, axis=0)
+        xc = sf.fold_halo(x, chunks, halo=2)
+        y = sf.normalize_silu(xc, m1, v1, s1, b1, groups=g)
+        y = sf.edge_mask(y, B, halo=2)
+        y = Conv(self.features, (3, 3), padding=((0, 0), (1, 1)), dtype=self.dtype, name="conv1")(y)
+        y = FiLM(self.features, dtype=self.dtype, name="film")(y, jnp.repeat(h, chunks, axis=0))
+        s2, b2 = self.param_group("norm2", self.features)
+        m2, v2 = sf.gn_stats_folded(y, B, halo=1, groups=g)
+        y = sf.normalize_silu(y, m2, v2, s2, b2, groups=g)
+        y = sf.edge_mask(y, B, halo=1)
+        y = Conv(self.features, (3, 3), padding=((0, 0), (1, 1)), dtype=self.dtype, name="conv2")(y)
+        return x + sf.unfold(y, B)
 
     def param_group(self, name: str, c: int):
         """Scale/bias parameters for a fused GroupNorm call."""

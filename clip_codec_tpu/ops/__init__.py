@@ -15,6 +15,7 @@ from .groupnorm import (
     set_pallas,
 )
 from .int8 import calibrate_int8, int8_enabled, set_int8_conv
+from .spatial_fold import fold_chunks, set_fold_spatial
 
 
 def enable_pallas(enabled: bool = True) -> None:
@@ -26,5 +27,6 @@ __all__ = [
     "group_norm", "group_norm_silu", "enable_pallas", "set_pallas",
     "set_flash_attention", "flash_enabled", "set_fused_mlp", "fused_mlp_enabled",
     "set_int8_conv", "int8_enabled",
+    "fold_chunks", "set_fold_spatial",
     "calibrate_int8",
 ]
