@@ -81,10 +81,16 @@ class ConvTranspose4x2(nn.Module):
 
             y = conv_transpose_k4s2(xc, kc, None)
         else:
-            y = jax.lax.conv_transpose(
-                xc, kc, strides=(2, 2), padding=((2, 2), (2, 2)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True,
-            )
+            from ..ops.spatial_fold import folded_conv_transpose_k4s2
+
+            # Small-batch big-spatial fold (measured 23.3 -> 21.8 ms at
+            # B=2 256ch @512->1024); returns None outside the win gate.
+            y = folded_conv_transpose_k4s2(xc, kc)
+            if y is None:
+                y = jax.lax.conv_transpose(
+                    xc, kc, strides=(2, 2), padding=((2, 2), (2, 2)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True,
+                )
         return y + bias.astype(y.dtype)
 
 
@@ -170,5 +176,20 @@ class CLIPCondUNet(nn.Module):
         scale = self.param("out_norm_scale", nn.initializers.ones, (ch,), jnp.float32)
         bias = self.param("out_norm_bias", nn.initializers.zeros, (ch,), jnp.float32)
         x = group_norm(x, (scale, bias), groups=8)
-        x = nn.Conv(self.img_ch, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="out")(x)
-        return x
+        # The 128->3 head conv hits the same small-batch tiling pathology as
+        # the ResBlocks (13.3 -> 9.8 ms folded at B=2 @1024, docs 1024px
+        # section); fold in the measured-win regime. NOTE the input here is
+        # post-GroupNorm, but the head conv's SAME padding pads THIS tensor,
+        # so fold_halo's zero edges are exactly right (in_conv folding was
+        # measured a loss, 7.9 -> 9.5 ms, and stays direct).
+        from ..ops import spatial_fold as sf
+
+        chunks = sf.fold_chunks(x.shape)
+        out_conv = nn.Conv(
+            self.img_ch, (3, 3),
+            padding=(((0, 0) if chunks > 1 else (1, 1)), (1, 1)),
+            dtype=self.dtype, name="out",
+        )
+        if chunks > 1:
+            return sf.unfold(out_conv(sf.fold_halo(x, chunks, halo=1)), x.shape[0])
+        return out_conv(x)

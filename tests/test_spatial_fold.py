@@ -123,3 +123,28 @@ def test_int8_mode_composes(block_io):
     err = float(np.max(np.abs(np.asarray(y0) - np.asarray(y1))))
     scale = float(np.max(np.abs(np.asarray(y0)))) + 1e-12
     assert err / scale < 0.05, (err, scale)
+
+
+def test_whole_model_fold_parity():
+    """CLIPCondUNet forward at a folding shape (H=256, B=2) with the auto
+    gate on vs the process-wide disable — covers the ResBlock fold, the
+    folded head conv, and the folded upsampler in one trace."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_codec_tpu.models import CLIPCondUNet
+    from clip_codec_tpu.ops import set_fold_spatial
+
+    net = CLIPCondUNet(z_dim=8, base=8, ch_mult=(1, 2), img_ch=3)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 256, 256, 3), jnp.float32)
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 8), jnp.float32)
+    t = jnp.array([3, 40], jnp.int32)
+    p = net.init(jax.random.PRNGKey(2), x[:1], z[:1], t[:1])
+    try:
+        y_fold = net.apply(p, x, z, t)
+        set_fold_spatial(False)
+        y_direct = net.apply(p, x, z, t)
+    finally:
+        set_fold_spatial(True)
+    np.testing.assert_allclose(np.asarray(y_fold), np.asarray(y_direct),
+                               atol=5e-5, rtol=1e-5)
