@@ -40,6 +40,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--sampler", type=str, default="ddim",
+                    choices=("ddim", "ddim_std", "dpmpp"),
+                    help="dpmpp --steps 10 is the measured serving knee "
+                         "(docs/performance.md): >= ddim-50 quality on "
+                         "converged models at ~5x the rate")
     ap.add_argument("--batch", type=int, default=16, help="artifact batch (micro-batching)")
     ap.add_argument("--n_requests", type=int, default=64)
     ap.add_argument("--concurrency", type=int, default=32)
@@ -92,8 +97,8 @@ def main() -> None:
         print(f"[bench_serve] exporting (trace+lower, one-time)...", file=sys.stderr)
         t0 = time.time()
         art = export_decompressor(params, mc, tmp / "dec.jaxprog", size=args.size,
-                                  steps=args.steps, batch_size=args.batch,
-                                  output=args.output)
+                                  steps=args.steps, sampler=args.sampler,
+                                  batch_size=args.batch, output=args.output)
         print(f"[bench_serve] export {time.time()-t0:.0f}s", file=sys.stderr)
 
     srv = serve(str(store), weights=str(ckpt), port=0, artifact=str(art),
@@ -136,7 +141,7 @@ def main() -> None:
         raise errs[0]
     v = args.n_requests / dt
     print(json.dumps({
-        "metric": f"e2e HTTP serving img/s (DDIM-{args.steps} {args.size}px, "
+        "metric": f"e2e HTTP serving img/s ({args.sampler.upper()}-{args.steps} {args.size}px, "
                   f"micro-batch {args.batch}, {args.concurrency} clients, {args.format})",
         "value": round(v, 3), "unit": "images/sec",
         "vs_baseline": round(v / A100_REFERENCE_IMGS_PER_SEC, 2),
