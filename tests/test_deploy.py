@@ -71,6 +71,26 @@ def test_export_dpmpp_variant(tmp_path, tiny_params, rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(live), atol=1e-4)
 
 
+def test_export_ddim_std_variant(tmp_path, tiny_params, rng):
+    path = export_decompressor(
+        tiny_params, MC, tmp_path / "dec_std.jaxprog", size=16, steps=4,
+        batch_size=1, sampler="ddim_std",
+    )
+    call = load_decompressor(path)
+    z = jnp.asarray(rng.standard_normal((1, MC.z_dim)), jnp.float32)
+    out = call(tiny_params, z)
+    assert bool(jnp.isfinite(out).all())
+    live = make_decompress_fn(MC, size=16, steps=4, sampler="ddim_std")(
+        tiny_params, z, jnp.int32(0)
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(live), atol=1e-4)
+    # the three samplers produce three distinct trajectories from one seed
+    ddim = make_decompress_fn(MC, size=16, steps=4, sampler="ddim")(
+        tiny_params, z, jnp.int32(0)
+    )
+    assert not np.allclose(np.asarray(out), np.asarray(ddim), atol=1e-3)
+
+
 def test_shape_and_tree_mismatches_raise(tmp_path, tiny_params, rng):
     path = export_decompressor(
         tiny_params, MC, tmp_path / "dec.jaxprog", size=16, steps=2, batch_size=2
