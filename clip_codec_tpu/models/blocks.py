@@ -64,18 +64,35 @@ class ResBlock(nn.Module):
     fold_spatial: "str | int" = "auto"
 
     @nn.compact
-    def __call__(self, x: jax.Array, h: jax.Array) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        h: jax.Array,
+        folded_batch: Optional[int] = None,
+        halo: Optional[int] = None,
+    ) -> jax.Array:
+        """``folded_batch``/``halo``: pre-folded calling convention — ``x`` is
+        an already space-to-batch-folded tensor (``fold_halo`` layout, image
+        batch ``folded_batch``, ``halo`` rows each side) and the result keeps
+        the folded layout with ``halo - 2`` rows. Lets the UNet chain both
+        same-resolution ResBlocks of a stage through ONE fold (halo 4 -> 2
+        -> 0) instead of folding per block."""
         from ..ops.int8 import conv_module
         from ..ops import spatial_fold as sf
 
         Conv = conv_module(self.int8)  # nn.Conv, or Int8Conv in int8 serving mode
         g = min(self.groups, self.features)
+        if folded_batch is not None:
+            return self._folded_core(x, h, Conv, g, folded_batch, halo)
         chunks = (
             sf.fold_chunks(x.shape) if self.fold_spatial == "auto"
             else int(self.fold_spatial)
         )
         if chunks > 1:
-            return self._folded(x, h, Conv, g, chunks)
+            # ONE halo fold (2 rows) feeds both VALID-in-H convs
+            # (halo 2 -> 1 -> 0); the fold copy is amortized over the block.
+            xc = sf.fold_halo(x, chunks, halo=2)
+            return sf.unfold(self._folded_core(xc, h, Conv, g, x.shape[0], 2), x.shape[0])
         y = group_norm_silu(x, self.param_group("norm1", self.features), groups=g)
         y = Conv(self.features, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv1")(y)
         y = FiLM(self.features, dtype=self.dtype, name="film")(y, h)
@@ -83,32 +100,29 @@ class ResBlock(nn.Module):
         y = Conv(self.features, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv2")(y)
         return x + y
 
-    def _folded(self, x: jax.Array, h: jax.Array, Conv, g: int, chunks: int) -> jax.Array:
-        """Space-to-batch body: ONE halo fold (2 rows) feeds both VALID-in-H
-        convs (halo 2 -> 1 -> 0); GN stats stay per-image; image-edge halo
-        rows are re-zeroed before each conv to reproduce SAME padding on the
+    def _folded_core(
+        self, xc: jax.Array, h: jax.Array, Conv, g: int, batch: int, halo: int
+    ) -> jax.Array:
+        """Folded-layout body: input carries ``halo`` rows per side, output
+        ``halo - 2`` (each VALID-in-H conv consumes one). GN stats stay
+        per-image (masked valid-row statistics); image-edge halo rows are
+        re-zeroed before each conv to reproduce SAME padding on the
         post-norm tensor. Same submodule names/params as the direct path."""
         from ..ops import spatial_fold as sf
-        from ..ops.groupnorm import _gn_stats
 
-        B = x.shape[0]
+        chunks = xc.shape[0] // batch
         s1, b1 = self.param_group("norm1", self.features)
-        # gn1 stats from the unfolded input (one fp32 reduction, no
-        # materialization of a normalized full-res tensor).
-        m1, v1 = _gn_stats(x.astype(jnp.float32), g)
-        m1 = jnp.repeat(m1.reshape(B, 1, 1, g, 1), chunks, axis=0)
-        v1 = jnp.repeat(v1.reshape(B, 1, 1, g, 1), chunks, axis=0)
-        xc = sf.fold_halo(x, chunks, halo=2)
+        m1, v1 = sf.gn_stats_folded(xc, batch, halo=halo, groups=g)
         y = sf.normalize_silu(xc, m1, v1, s1, b1, groups=g)
-        y = sf.edge_mask(y, B, halo=2)
+        y = sf.edge_mask(y, batch, halo=halo)
         y = Conv(self.features, (3, 3), padding=((0, 0), (1, 1)), dtype=self.dtype, name="conv1")(y)
         y = FiLM(self.features, dtype=self.dtype, name="film")(y, jnp.repeat(h, chunks, axis=0))
         s2, b2 = self.param_group("norm2", self.features)
-        m2, v2 = sf.gn_stats_folded(y, B, halo=1, groups=g)
+        m2, v2 = sf.gn_stats_folded(y, batch, halo=halo - 1, groups=g)
         y = sf.normalize_silu(y, m2, v2, s2, b2, groups=g)
-        y = sf.edge_mask(y, B, halo=1)
+        y = sf.edge_mask(y, batch, halo=halo - 1)
         y = Conv(self.features, (3, 3), padding=((0, 0), (1, 1)), dtype=self.dtype, name="conv2")(y)
-        return x + sf.unfold(y, B)
+        return xc[:, 2:-2] + y
 
     def param_group(self, name: str, c: int):
         """Scale/bias parameters for a fused GroupNorm call."""

@@ -142,12 +142,30 @@ class CLIPCondUNet(nn.Module):
         Conv = conv_module(self.int8)  # nn.Conv, or Int8Conv in int8 serving mode
         RB = nn.remat(ResBlock) if self.remat else ResBlock
 
+        from ..ops import spatial_fold as sf
+
+        def rb_pair(x, ch, name0, name1):
+            """The two same-resolution ResBlocks of a stage. In the
+            spatial-fold regime they chain through ONE fold (halo 4 -> 2 ->
+            0), saving a fold/unfold round-trip per stage; remat keeps the
+            per-block form (jax.checkpoint wraps plain __call__)."""
+            chunks = sf.fold_chunks(x.shape) if not self.remat else 1
+            if chunks > 1:
+                B = x.shape[0]
+                xc = sf.fold_halo(x, chunks, halo=4)
+                xc = RB(ch, dtype=self.dtype, int8=self.int8, name=name0)(
+                    xc, h, folded_batch=B, halo=4)
+                xc = RB(ch, dtype=self.dtype, int8=self.int8, name=name1)(
+                    xc, h, folded_batch=B, halo=2)
+                return sf.unfold(xc, B)
+            x = RB(ch, dtype=self.dtype, int8=self.int8, name=name0)(x, h)
+            return RB(ch, dtype=self.dtype, int8=self.int8, name=name1)(x, h)
+
         # Encoder: skip captured after the 2 ResBlocks, before downsample.
         skips = []
         ch = self.base
         for i, m in enumerate(self.ch_mult):
-            x = RB(ch, dtype=self.dtype, int8=self.int8, name=f"down_{i}_rb0")(x, h)
-            x = RB(ch, dtype=self.dtype, int8=self.int8, name=f"down_{i}_rb1")(x, h)
+            x = rb_pair(x, ch, f"down_{i}_rb0", f"down_{i}_rb1")
             skips.append(x)
             x = Conv(
                 ch * m, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
@@ -160,8 +178,7 @@ class CLIPCondUNet(nn.Module):
 
         # Decoder with additive skips after each up-stage.
         for j, m in enumerate(reversed(self.ch_mult)):
-            x = RB(ch, dtype=self.dtype, int8=self.int8, name=f"up_{j}_rb0")(x, h)
-            x = RB(ch, dtype=self.dtype, int8=self.int8, name=f"up_{j}_rb1")(x, h)
+            x = rb_pair(x, ch, f"up_{j}_rb0", f"up_{j}_rb1")
             # padding (2,2) + transpose_kernel=True == torch ConvTranspose2d
             # (k=4, s=2, p=1): exact 2x upsample, numerically verified.
             x = ConvTranspose4x2(

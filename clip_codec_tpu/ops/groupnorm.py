@@ -8,7 +8,9 @@ enabled process-wide for the cases where hand-fusion beats XLA (profiled on
 real hardware; see clip_codec_tpu/ops/pallas_groupnorm.py).
 
 Statistics are computed in fp32 regardless of the compute dtype (bf16-safe),
-matching torch's fp32 GroupNorm semantics under autocast.
+matching torch's fp32 GroupNorm semantics under autocast. (float64 inputs
+keep float64 stats — a test-only path that makes fp64 a true oracle for
+the folded-layout parity tests.)
 """
 
 from __future__ import annotations
@@ -79,7 +81,7 @@ def group_norm(
     """Plain GroupNorm over NHWC (per-sample, per-group over H, W, C/groups)."""
     scale, bias = scale_bias
     B, H, W, C = x.shape
-    x32 = x.astype(jnp.float32)
+    x32 = x.astype(jnp.promote_types(x.dtype, jnp.float32))
     mean, var = _gn_stats(x32, groups)
     xg = x32.reshape(B, H, W, groups, C // groups)
     y = (xg - mean) * jax.lax.rsqrt(var + eps)
@@ -99,4 +101,4 @@ def group_norm_silu(
 
         return group_norm_silu_pallas(x, scale_bias[0], scale_bias[1], groups, eps)
     y = group_norm(x, scale_bias, groups, eps)
-    return y * jax.nn.sigmoid(y.astype(jnp.float32)).astype(y.dtype)
+    return y * jax.nn.sigmoid(y.astype(jnp.promote_types(y.dtype, jnp.float32))).astype(y.dtype)

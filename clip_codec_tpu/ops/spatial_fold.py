@@ -112,7 +112,7 @@ def gn_stats_folded(
     BF, Rh, W, C = y.shape
     chunks = BF // batch
     R = Rh - 2 * halo
-    y32 = y.astype(jnp.float32)
+    y32 = y.astype(jnp.promote_types(y.dtype, jnp.float32))
     valid = y32[:, halo:Rh - halo].reshape(batch, chunks, R, W, groups, C // groups)
     mean = jnp.mean(valid, axis=(1, 2, 3, 5), keepdims=True)  # (B,1,1,1,g,1)
     var = jnp.mean(jnp.square(valid - mean), axis=(1, 2, 3, 5), keepdims=True)
@@ -133,7 +133,7 @@ def normalize_silu(
     """GroupNorm normalize + affine + SiLU with externally supplied stats
     (same math as ops.group_norm_silu's XLA path, stats factored out)."""
     B, H, W, C = y.shape
-    y32 = y.astype(jnp.float32).reshape(B, H, W, groups, C // groups)
+    y32 = y.astype(jnp.promote_types(y.dtype, jnp.float32)).reshape(B, H, W, groups, C // groups)
     z = (y32 - mean) * jax.lax.rsqrt(var + eps)
     z = z.reshape(B, H, W, C) * scale.astype(jnp.float32) + bias.astype(jnp.float32)
     return (z * jax.nn.sigmoid(z)).astype(y.dtype)

@@ -148,3 +148,53 @@ def test_whole_model_fold_parity():
         set_fold_spatial(True)
     np.testing.assert_allclose(np.asarray(y_fold), np.asarray(y_direct),
                                atol=5e-5, rtol=1e-5)
+
+
+def test_paired_fold_exact_float64():
+    """The chained-pair path (halo 4 -> 2 -> 0, one fold per stage) is
+    MATHEMATICALLY identical to two direct ResBlocks: in float64 (where the
+    GN stat dtype promotes with the input, making fp64 a true oracle) both
+    forward and gradients agree to ~1e-14. In fp32, GN-stat reassociation
+    noise shows up amplified on cancellation-dominated leaves (conv bias /
+    FiLM shift — GroupNorm's mean subtraction cancels constant shifts), so
+    exactness is asserted HERE, at f64, not there."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        import jax.numpy as jnp
+
+        from clip_codec_tpu.models.blocks import ResBlock
+        from clip_codec_tpu.ops import spatial_fold as sf
+
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (2, 256, 16, 16), jnp.float64)
+        h = jax.random.normal(jax.random.PRNGKey(1), (2, 32), jnp.float64)
+        rb0 = ResBlock(16, dtype=jnp.float64, fold_spatial=1)
+        rb1 = ResBlock(16, dtype=jnp.float64, fold_spatial=1)
+        as64 = lambda t: jax.tree_util.tree_map(lambda a: a.astype(jnp.float64), t)
+        p0 = as64(rb0.init(jax.random.PRNGKey(2), x, h))
+        p1 = as64(rb1.init(jax.random.PRNGKey(3), x, h))
+        B = 2
+
+        def loss_pair(ps):
+            a, b = ps
+            xc = sf.fold_halo(x, 4, halo=4)
+            xc = rb0.apply(a, xc, h, folded_batch=B, halo=4)
+            xc = rb1.apply(b, xc, h, folded_batch=B, halo=2)
+            y = sf.unfold(xc, B)
+            return jnp.sum(jnp.square(y)), y
+
+        def loss_direct(ps):
+            a, b = ps
+            y = rb1.apply(b, rb0.apply(a, x, h), h)
+            return jnp.sum(jnp.square(y)), y
+
+        (_, yp), g0 = jax.value_and_grad(loss_pair, has_aux=True)((p0, p1))
+        (_, yd), g1 = jax.value_and_grad(loss_direct, has_aux=True)((p0, p1))
+        assert float(jnp.abs(yp - yd).max()) < 1e-12
+        for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+            rel = float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-30))
+            assert rel < 1e-12, rel
+    finally:
+        jax.config.update("jax_enable_x64", False)
