@@ -42,20 +42,47 @@ class ResnetBlock2D(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, temb: Optional[jax.Array] = None) -> jax.Array:
+        import math
+
+        from ...ops import spatial_fold as sf
         from ...ops.int8 import conv_module
 
         Conv = conv_module(self.int8)
         cin = x.shape[-1]
         s1 = self.param("norm1_scale", nn.initializers.ones, (cin,), jnp.float32)
         b1 = self.param("norm1_bias", nn.initializers.zeros, (cin,), jnp.float32)
+        s2 = self.param("norm2_scale", nn.initializers.ones, (self.out_ch,), jnp.float32)
+        b2 = self.param("norm2_bias", nn.initializers.zeros, (self.out_ch,), jnp.float32)
+        chunks = sf.fold_chunks(x.shape)
+        if chunks > 1:
+            # Space-to-batch fold (docs/performance.md "spatial-fold attack"):
+            # in the VAE decode this hits the 512px/256px up-stage resnets at
+            # batch 2-4 — same pathology, same fix as the pixel ResBlock.
+            B = x.shape[0]
+            g1 = math.gcd(32, cin) or 1
+            g2 = math.gcd(32, self.out_ch) or 1
+            xc = sf.fold_halo(x, chunks, halo=2)
+            m1, v1 = sf.gn_stats_folded(xc, B, halo=2, groups=g1)
+            h = sf.normalize_silu(xc, m1, v1, s1, b1, groups=g1, eps=self.eps)
+            h = sf.edge_mask(h, B, halo=2)
+            h = Conv(self.out_ch, (3, 3), padding=((0, 0), (1, 1)), dtype=self.dtype, name="conv1")(h)
+            if temb is not None and self.temb_dim is not None:
+                t = nn.Dense(self.out_ch, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
+                h = h + jnp.repeat(t, chunks, axis=0)[:, None, None, :]
+            m2, v2 = sf.gn_stats_folded(h, B, halo=1, groups=g2)
+            h = sf.normalize_silu(h, m2, v2, s2, b2, groups=g2, eps=self.eps)
+            h = sf.edge_mask(h, B, halo=1)
+            h = Conv(self.out_ch, (3, 3), padding=((0, 0), (1, 1)), dtype=self.dtype, name="conv2")(h)
+            skip = xc[:, 2:-2]
+            if cin != self.out_ch:
+                skip = Conv(self.out_ch, (1, 1), dtype=self.dtype, name="conv_shortcut")(skip)
+            return sf.unfold(skip + h, B)
         h = group_norm32(x, s1, b1, eps=self.eps)
         h = nn.silu(h)
         h = Conv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv1")(h)
         if temb is not None and self.temb_dim is not None:
             t = nn.Dense(self.out_ch, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
             h = h + t[:, None, None, :]
-        s2 = self.param("norm2_scale", nn.initializers.ones, (self.out_ch,), jnp.float32)
-        b2 = self.param("norm2_bias", nn.initializers.zeros, (self.out_ch,), jnp.float32)
         h = group_norm32(h, s2, b2, eps=self.eps)
         h = nn.silu(h)
         h = Conv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv2")(h)
