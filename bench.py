@@ -22,6 +22,14 @@ import os
 import sys
 import time
 
+_T_START = time.time()
+# Wall-clock budget for the whole process (seconds). The optional int8 extra
+# stage is SKIPPED (not risked) once this much time has elapsed, so a driver
+# timeout or an axon-tunnel wedge in the extra stage can never erase the
+# already-measured bf16 headline. The headline JSON line itself is printed
+# (and flushed) the moment it is measured — see main().
+BENCH_DEADLINE_S = float(os.environ.get("CLIP_CODEC_BENCH_DEADLINE_S", "420"))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -179,11 +187,23 @@ def main() -> None:
     except Exception as e:  # pragma: no cover - transport-dependent
         print(f"[bench] cost_analysis unavailable: {e}", file=sys.stderr)
 
+    # Emit the parseable headline IMMEDIATELY (flushed) — before the optional
+    # int8 extra stage. A wedge/kill during that stage then still leaves a
+    # valid JSON line on stdout; if the stage succeeds, the ENRICHED record is
+    # printed as the final line and a last-valid-JSON-line parser picks it up.
+    print(json.dumps(record), flush=True)
+
     # Also measure the opt-in static-int8 serving mode in the same process
     # and attach it as extra fields — the PRIMARY value stays the exact bf16
     # parity path (int8 changes outputs; quality delta via
     # CLIP_CODEC_BENCH_INT8=quality). Guarded: a failure here never voids
-    # the headline record.
+    # the headline record. Deadline-gated: if the bf16 stage already consumed
+    # the budget (slow cold compile, tunnel retries), skip rather than risk.
+    elapsed = time.time() - _T_START
+    if elapsed > BENCH_DEADLINE_S:
+        print(f"[bench] int8 extra stage skipped: {elapsed:.0f}s elapsed "
+              f"> deadline {BENCH_DEADLINE_S:.0f}s", file=sys.stderr)
+        return
     if not int8_mode and os.environ.get("CLIP_CODEC_BENCH_SKIP_INT8", "") in ("", "0"):
         try:
             net_q = CLIPCondUNet(z_dim=512, base=128, ch_mult=(1, 2, 2),
@@ -211,10 +231,10 @@ def main() -> None:
                 BATCH / dt_q / A100_REFERENCE_IMGS_PER_SEC, 2)
             print(f"[bench] int8-static serving mode: {BATCH / dt_q:.2f} img/s",
                   file=sys.stderr)
+            # Final line: the enriched record (headline fields unchanged).
+            print(json.dumps(record), flush=True)
         except Exception as e:  # pragma: no cover - transport-dependent
             print(f"[bench] int8 extra measurement skipped: {e}", file=sys.stderr)
-
-    print(json.dumps(record))
 
 
 def int8_quality() -> None:

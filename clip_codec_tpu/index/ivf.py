@@ -32,7 +32,7 @@ preserving exactness-under-full-probe (every row lives in exactly one list).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
+from functools import lru_cache, partial
 from typing import List, Sequence, Tuple
 
 import jax
@@ -388,24 +388,24 @@ def build_ivf_index_u8(
 # --------------------------------------------------------------- multi-chip
 
 
-def _sharded_ivf_candidates(mesh, centroids, lists, list_ids, list_inv,
-                            scale, zero, q, k: int, nprobe: int):
-    """Per-shard IVF probe inside a ``shard_map``: every shard computes the
-    SAME global top-``nprobe`` probe set from the replicated centroids
-    (deterministic), gathers only the probed lists it OWNS (the rest are
-    masked to id −1), and returns its local top candidates. The union of
-    owned lists across shards is exactly the single-device probe set, so the
-    merged hits are identical to :class:`IVFIndex` — sharding buys HBM
-    capacity (rows split S ways), not a different ANN."""
+@lru_cache(maxsize=32)
+def _sharded_ivf_search_fn(mesh, local_nlist: int, kk: int, nprobe: int,
+                           u8: bool):
+    """Build (once per (mesh, shape-config)) the jitted ``shard_map`` search
+    program for :class:`ShardedIVFIndex`. Hoisted to a module-level cache so
+    repeated ``search`` calls hit the jit cache instead of retracing — the
+    class exists for single-query latency, so per-call retraces would defeat
+    it. ``scale``/``zero`` are ARGUMENTS (not closure captures) so the cache
+    key stays hashable and the arrays are jit operands."""
     from jax.sharding import PartitionSpec as P
 
-    n_sh = mesh.shape["data"]
-    local_nlist = lists.shape[0] // n_sh
-    cap = lists.shape[1]
-    kk = min(k, nprobe * cap)
-    u8 = list_inv is not None
-
-    def local(cent, lists_l, ids_l, inv_l, q_l):
+    def local(cent, lists_l, ids_l, inv_l, scale, zero, q_l):
+        # Every shard computes the SAME global top-``nprobe`` probe set from
+        # the replicated centroids (deterministic), gathers only the probed
+        # lists it OWNS (the rest are masked to id −1), and returns its local
+        # top candidates. The union of owned lists across shards is exactly
+        # the single-device probe set, so the merged hits are identical to
+        # :class:`IVFIndex` — sharding buys HBM capacity, not a different ANN.
         cscores = q_l @ cent.T                      # (Q, nlist_real)
         _, probe = jax.lax.top_k(cscores, nprobe)   # global list ids
         base = jax.lax.axis_index("data").astype(jnp.int32) * local_nlist
@@ -426,15 +426,29 @@ def _sharded_ivf_candidates(mesh, centroids, lists, list_ids, list_inv,
         s, j = jax.lax.top_k(sims.reshape(nq, -1), kk)
         return s, jnp.take_along_axis(ids.reshape(nq, -1), j, axis=1)
 
-    inv_arg = list_inv if u8 else jnp.zeros_like(list_ids, jnp.float32)
     fn = jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(), P("data", None, None), P("data", None),
-                  P("data", None), P()),
+                  P("data", None), P(), P(), P()),
         out_specs=(P(None, "data"), P(None, "data")),
         check_vma=False,
     )
-    return jax.jit(fn)(centroids, lists, list_ids, inv_arg, q)
+    return jax.jit(fn)
+
+
+def _sharded_ivf_candidates(mesh, centroids, lists, list_ids, list_inv,
+                            scale, zero, q, k: int, nprobe: int):
+    """Dispatch one sharded IVF probe through the cached jitted program."""
+    n_sh = mesh.shape["data"]
+    local_nlist = lists.shape[0] // n_sh
+    cap = lists.shape[1]
+    kk = min(k, nprobe * cap)
+    u8 = list_inv is not None
+    inv_arg = list_inv if u8 else jnp.zeros_like(list_ids, jnp.float32)
+    scale_arg = scale if u8 else jnp.zeros((q.shape[1],), jnp.float32)
+    zero_arg = zero if u8 else jnp.zeros((q.shape[1],), jnp.float32)
+    fn = _sharded_ivf_search_fn(mesh, local_nlist, kk, nprobe, u8)
+    return fn(centroids, lists, list_ids, inv_arg, scale_arg, zero_arg, q)
 
 
 @dataclass
@@ -481,6 +495,10 @@ class ShardedIVFIndex:
         s, i = scores[rows, order], ids[rows, order]
         i = np.where(np.isfinite(s), i, -1)  # FAISS semantics past the tail
         s = np.where(np.isfinite(s), s, 0.0).astype(np.float32)
+        if s.shape[1] < k:  # nprobe*cap*n_shards < k: pad to exactly k
+            pad = k - s.shape[1]  # columns, matching IVFIndex's contract
+            s = np.pad(s, ((0, 0), (0, pad)))
+            i = np.pad(i, ((0, 0), (0, pad)), constant_values=-1)
         return s, i
 
 

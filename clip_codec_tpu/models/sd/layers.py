@@ -245,6 +245,17 @@ class BasicTransformerBlock(nn.Module):
         )
         Dense = dense_module(self.int8)
         use_fused = self.fused_mlp
+        if use_fused and Dense is not nn.Dense:
+            # Mirrors the auto gate's `Dense is nn.Dense` check: a forced
+            # fused MLP would silently bypass Int8Dense — the MLP would run
+            # unquantized and the 'quant' collection would lose its entries,
+            # diverging from int8 checkpoints/calibration with no error.
+            raise ValueError(
+                "fused_mlp=True is incompatible with int8 mode: the fused "
+                "Pallas MLP has no int8 path, so forcing it would skip "
+                "quantization for ff_geglu/ff_out. Use fused_mlp=None (auto) "
+                "or disable int8."
+            )
         if use_fused is None:
             from ...ops.groupnorm import fused_mlp_enabled
 
@@ -364,6 +375,14 @@ class Upsample2D(nn.Module):
         B, H, W, C = x.shape
         Conv = conv_module(self.int8)
         use_fused = self.fused
+        if use_fused and Conv is not nn.Conv:
+            # Same hazard as BasicTransformerBlock.fused_mlp: forcing the
+            # fused upsample in int8 mode would silently skip Int8Conv.
+            raise ValueError(
+                "Upsample2D(fused=True) is incompatible with int8 mode: the "
+                "fused nearest-up+conv path has no int8 variant. Use "
+                "fused=None (auto) or disable int8."
+            )
         if use_fused is None:
             import jax as _jax
 

@@ -139,21 +139,6 @@ def normalize_silu(
     return (z * jax.nn.sigmoid(z)).astype(y.dtype)
 
 
-def folded_conv3x3(x: jax.Array, conv_valid_h) -> jax.Array:
-    """Run a SAME 3x3 (or any kh=3) conv as a space-to-batch folded op:
-    fold with a 1-row halo, apply ``conv_valid_h`` (the same conv with H
-    padding (0,0) and W padding unchanged), unfold. The input is RAW (conv
-    pads the raw tensor), so fold_halo's zero edge rows already reproduce
-    SAME padding — no re-masking needed. Returns the conv output; the
-    caller gates on :func:`fold_chunks`."""
-    B = x.shape[0]
-    chunks = fold_chunks(x.shape)
-    if chunks == 1:
-        return None
-    y = conv_valid_h(fold_halo(x, chunks, halo=1))
-    return unfold(y, B)
-
-
 def folded_conv_transpose_k4s2(x: jax.Array, kernel: jax.Array) -> jax.Array:
     """``ConvTranspose2d(k=4, s=2, p=1)`` (flax ``transpose_kernel=True``
     layout, H-dim folded): fold with a 1-row halo, run the transposed conv

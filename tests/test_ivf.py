@@ -189,3 +189,37 @@ def test_sharded_ivf_lists_actually_sharded(rng):
     # short-tail semantics survive sharding: k past the candidate count
     s, i = sh.search(_unit_rows(rng, 2, 16), 9, nprobe=1)
     assert i.shape == (2, 9)
+
+
+def test_sharded_ivf_pads_to_k_columns(rng):
+    """When nprobe*cap*n_shards < k the result is still exactly k columns,
+    padded with (0.0, -1) — IVFIndex's FAISS-style contract."""
+    from clip_codec_tpu.index import build_ivf_index, shard_ivf_index
+
+    feats = _unit_rows(rng, 16, 8)
+    ix = build_ivf_index(feats, nlist=8, nprobe=1, seed=0)
+    sh = shard_ivf_index(ix, _mesh(4))
+    k = 16 + 8  # > ntotal >= any candidate width
+    s, i = sh.search(_unit_rows(rng, 2, 8), k, nprobe=1)
+    # ntotal=16 clamps k to 16 inside search; compare against single-device
+    s0, i0 = ix.search(_unit_rows(rng, 2, 8), k, nprobe=1)
+    assert s.shape == s0.shape and i.shape == i0.shape
+    assert np.all((i >= -1)) and np.all(s[i == -1] == 0.0)
+
+
+def test_sharded_ivf_search_does_not_retrace(rng):
+    """Repeated searches must hit the cached jitted program (the class's
+    single-query-latency motivation): one factory miss, then hits only."""
+    from clip_codec_tpu.index import build_ivf_index, shard_ivf_index
+    from clip_codec_tpu.index.ivf import _sharded_ivf_search_fn
+
+    feats = _unit_rows(rng, 128, 16)
+    ix = build_ivf_index(feats, nlist=8, nprobe=2, seed=0)
+    sh = shard_ivf_index(ix, _mesh(4))
+    q = _unit_rows(rng, 3, 16)
+    _sharded_ivf_search_fn.cache_clear()
+    s0, i0 = sh.search(q, 5)
+    s1, i1 = sh.search(q, 5)
+    np.testing.assert_array_equal(i0, i1)
+    info = _sharded_ivf_search_fn.cache_info()
+    assert info.misses == 1 and info.hits >= 1, info

@@ -106,6 +106,28 @@ def test_module_param_tree_and_parity(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3)
 
 
+def test_fused_mlp_int8_force_raises(rng):
+    """Forcing fused_mlp=True in int8 mode must raise, not silently bypass
+    Int8Dense (the 'quant' collection would otherwise lose the MLP entries)."""
+    import pytest
+
+    from clip_codec_tpu.models.sd.layers import BasicTransformerBlock, Upsample2D
+
+    x = jnp.asarray(rng.standard_normal((1, 16, 32)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 4, 16)), jnp.float32)
+    bad = BasicTransformerBlock(32, 2, fused_mlp=True, int8=True)
+    with pytest.raises(ValueError, match="int8"):
+        bad.init(jax.random.PRNGKey(0), x, ctx)
+    # auto gate (fused_mlp=None) composes fine with int8 — it picks unfused
+    ok = BasicTransformerBlock(32, 2, int8=True)
+    ok.init(jax.random.PRNGKey(0), x, ctx)
+
+    xi = jnp.asarray(rng.standard_normal((1, 8, 8, 16)), jnp.float32)
+    with pytest.raises(ValueError, match="int8"):
+        Upsample2D(16, fused=True, int8=True).init(jax.random.PRNGKey(0), xi)
+    Upsample2D(16, int8=True).init(jax.random.PRNGKey(0), xi)
+
+
 def test_sharded_rows_match_single_device(rng):
     """DP-style batch sharding passes straight through the partitioner."""
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

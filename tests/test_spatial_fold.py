@@ -150,6 +150,32 @@ def test_whole_model_fold_parity():
                                atol=5e-5, rtol=1e-5)
 
 
+def test_folded_conv_transpose_parity():
+    """folded_conv_transpose_k4s2 vs jax.lax.conv_transpose at a shape INSIDE
+    the fold gate (B=2, H=256 — CI's whole-model test runs at 256px where
+    transpose inputs are H<=128, below the gate, so this is the only CI
+    coverage of the folded upsampler path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_codec_tpu.ops.spatial_fold import fold_chunks, folded_conv_transpose_k4s2
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 256, 16, 8), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (4, 4, 4, 8), jnp.float32) * 0.1
+    assert fold_chunks(x.shape) > 1  # the shape must actually exercise the fold
+    y_fold = folded_conv_transpose_k4s2(x, k)
+    assert y_fold is not None
+    y_direct = jax.lax.conv_transpose(
+        x, k, strides=(2, 2), padding=((2, 2), (2, 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True,
+    )
+    assert y_fold.shape == y_direct.shape == (2, 512, 32, 4)
+    np.testing.assert_allclose(np.asarray(y_fold), np.asarray(y_direct),
+                               atol=2e-5, rtol=1e-5)
+    # outside the gate (B=1) the helper declines and the caller goes direct
+    assert folded_conv_transpose_k4s2(x[:1], k) is None
+
+
 def test_paired_fold_exact_float64():
     """The chained-pair path (halo 4 -> 2 -> 0, one fold per stage) is
     MATHEMATICALLY identical to two direct ResBlocks: in float64 (where the
