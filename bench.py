@@ -175,8 +175,12 @@ def main() -> None:
         )
         # Lower for the CPU backend: the FLOP count is platform-independent
         # and some remote-TPU transports return None from cost_analysis.
+        # fused_pallas=False: Pallas calls cannot lower for CPU cost
+        # analysis, and the FLOP count is identical by construction.
+        net_cost = net.clone(fused_pallas=False)
+        cost_fn = lambda p, xx, zz, tt: net_cost.apply(p, xx, zz, tt)
         with jax.default_device(jax.devices("cpu")[0]):
-            ca = jax.jit(model_fn).lower(*abstract).cost_analysis()
+            ca = jax.jit(cost_fn).lower(*abstract).cost_analysis()
         if isinstance(ca, (list, tuple)):  # older jax returns [dict]
             ca = ca[0]
         flops_per_batch = float(ca["flops"]) * STEPS

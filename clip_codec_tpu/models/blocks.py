@@ -28,17 +28,43 @@ Dtype = Any
 
 class FiLM(nn.Module):
     """Feature-wise linear modulation: ``x * (1 + scale(h)) + shift(h)``
-    per channel (reference ``models/blocks.py:14-25``)."""
+    per channel (reference ``models/blocks.py:14-25``). ``setup``-style so
+    :meth:`coeffs` can expose the per-(batch, channel) pair for fusion into
+    a Pallas-kernel affine (same param tree as the previous compact form)."""
 
     features: int
     dtype: Dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.to_scale = nn.Dense(self.features, dtype=self.dtype)
+        self.to_shift = nn.Dense(self.features, dtype=self.dtype)
+
+    def coeffs(self, h: jax.Array) -> tuple:
+        """(scale, shift), each (B, C): x' = x * (1 + scale) + shift."""
+        return self.to_scale(h), self.to_shift(h)
+
     def __call__(self, x: jax.Array, h: jax.Array) -> jax.Array:
-        s = nn.Dense(self.features, dtype=self.dtype, name="to_scale")(h)
-        b = nn.Dense(self.features, dtype=self.dtype, name="to_shift")(h)
+        s, b = self.coeffs(h)
         # NHWC: broadcast (B, C) over the two spatial dims.
         return x * (1.0 + s[:, None, None, :]) + b[:, None, None, :]
+
+
+class _ConvParams(nn.Module):
+    """Declares exactly ``nn.Conv(features, (3, 3))``'s parameters (same
+    names, shapes, inits) without running the op — lets the fused Pallas
+    block own the conv while checkpoints stay interchangeable."""
+
+    features: int
+    cin: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, self.cin, self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return kernel, bias
 
 
 class ResBlock(nn.Module):
@@ -55,6 +81,16 @@ class ResBlock(nn.Module):
     disables. The parameter tree is IDENTICAL either way (same conv kernels,
     only the H padding mode differs), and outputs match to normal bf16
     reassociation noise (tests/test_spatial_fold.py).
+
+    ``fused_pallas``: the whole block as TWO fused Pallas kernel passes
+    (``ops/pallas_resblock.py``: GN1 and GN2∘FiLM fold into per-(batch,
+    channel) affines; GN2 statistics derive from kernel-1's fp32 moments so
+    the FiLM'd intermediate never materializes). "auto" engages in the
+    measured-win regime (``fused_block_gate``: >=512px 128ch, >=256px 256ch
+    at small batch — beats the fold path 1.44-1.65x there); True forces
+    (tests, via interpret mode); False disables (training: the kernel's
+    custom_vjp backward re-runs the XLA reference, so its forward win does
+    not pay during training). Same param tree as the other paths.
     """
 
     features: int
@@ -62,6 +98,7 @@ class ResBlock(nn.Module):
     dtype: Dtype = jnp.float32
     int8: "bool | None" = None  # None = process default (ops.set_int8_conv)
     fold_spatial: "str | int" = "auto"
+    fused_pallas: "str | bool" = "auto"
 
     @nn.compact
     def __call__(
@@ -84,6 +121,14 @@ class ResBlock(nn.Module):
         g = min(self.groups, self.features)
         if folded_batch is not None:
             return self._folded_core(x, h, Conv, g, folded_batch, halo)
+        if Conv is nn.Conv and x.shape[-1] == self.features:
+            from ..ops.pallas_resblock import fused_block_gate
+
+            if self.fused_pallas is True or (
+                self.fused_pallas == "auto"
+                and fused_block_gate(x.shape, jnp.dtype(self.dtype).itemsize)
+            ):
+                return self._pallas_core(x, h, g)
         chunks = (
             sf.fold_chunks(x.shape) if self.fold_spatial == "auto"
             else int(self.fold_spatial)
@@ -123,6 +168,34 @@ class ResBlock(nn.Module):
         y = sf.edge_mask(y, batch, halo=halo - 1)
         y = Conv(self.features, (3, 3), padding=((0, 0), (1, 1)), dtype=self.dtype, name="conv2")(y)
         return xc[:, 2:-2] + y
+
+    def _pallas_core(self, x: jax.Array, h: jax.Array, g: int) -> jax.Array:
+        """Whole block as two fused affine+SiLU+conv3x3 Pallas passes.
+        Identical parameter tree to the direct/folded paths (`_ConvParams`
+        declares nn.Conv's params; FiLM/param_group are the same modules)."""
+        from ..ops import pallas_resblock as pr
+
+        C = self.features
+        s1, b1 = self.param_group("norm1", C)
+        s2, b2 = self.param_group("norm2", C)
+        k1, cb1 = _ConvParams(C, x.shape[-1], name="conv1")()
+        k2, cb2 = _ConvParams(C, C, name="conv2")()
+        fs, fb = FiLM(C, dtype=self.dtype, name="film").coeffs(h)
+
+        xd = x.astype(self.dtype)
+        A1, B1 = pr.gn_affine(x, s1, b1, g)
+        y, mom = pr.affine_silu_conv3x3(
+            xd, A1, B1, k1.astype(self.dtype).reshape(9, x.shape[-1], C),
+            cb1, want_moments=True,
+        )
+        A2, B2 = pr.gn_affine_from_moments(
+            mom, x.shape[1] * x.shape[2], s2, b2, g,
+            film=(fs.astype(jnp.float32), fb.astype(jnp.float32)),
+        )
+        out, _ = pr.affine_silu_conv3x3(
+            y, A2, B2, k2.astype(self.dtype).reshape(9, C, C), cb2, add=xd,
+        )
+        return out
 
     def param_group(self, name: str, c: int):
         """Scale/bias parameters for a fused GroupNorm call."""

@@ -112,6 +112,9 @@ class CLIPCondUNet(nn.Module):
     # chain from HBM — the memory lever for 512px+ training batches.
     # Identical math/params; forward-only use is unaffected.
     remat: bool = False
+    # Fused-Pallas ResBlocks ("auto" = measured-win shapes, see
+    # ResBlock.fused_pallas). Forced False under remat/training.
+    fused_pallas: "str | bool" = "auto"
     # Upsamplers as phase-decomposed dense convs (identical math/params).
     # Measured on chip (bench_profile.py): the decomposition LOSES on the
     # full DDIM path (9.2 vs 11.5 img/s — the phase interleave adds a full
@@ -133,9 +136,29 @@ class CLIPCondUNet(nn.Module):
         zemb = nn.silu(zemb)
         h = temb + zemb
 
-        x = nn.Conv(self.base, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="in_conv")(
-            x_t.astype(self.dtype)
+        from ..ops.pallas_resblock import affine_conv3x3, fused_boundary_gate
+
+        itemsize = jnp.dtype(self.dtype).itemsize
+        boundary = self.fused_pallas is not False and not self.remat and (
+            self.fused_pallas is True
+            or fused_boundary_gate(x_t.shape, self.base, itemsize)
         )
+        if boundary:
+            # 3->base in conv as a Pallas pass (identity affine): XLA runs
+            # this at ~1% MFU at 1024px (3-lane waste); the kernel is
+            # HBM-bound. Same "in_conv" {kernel, bias} params as nn.Conv.
+            from .blocks import _ConvParams
+
+            ki, bi = _ConvParams(self.base, self.img_ch, name="in_conv")()
+            ones = jnp.ones((x_t.shape[0], self.img_ch), jnp.float32)
+            x, _ = affine_conv3x3(
+                x_t.astype(self.dtype), ones, 0.0 * ones,
+                ki.astype(self.dtype).reshape(9, self.img_ch, self.base), bi,
+            )
+        else:
+            x = nn.Conv(self.base, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="in_conv")(
+                x_t.astype(self.dtype)
+            )
 
         from ..ops.int8 import conv_module
 
@@ -144,12 +167,27 @@ class CLIPCondUNet(nn.Module):
 
         from ..ops import spatial_fold as sf
 
+        # Fused-Pallas blocks are inference-path only: their custom_vjp
+        # backward re-runs the XLA reference, so under remat/training the
+        # fold path stays the fastest end-to-end form.
+        fused_pallas = False if self.remat else self.fused_pallas
+
         def rb_pair(x, ch, name0, name1):
             """The two same-resolution ResBlocks of a stage. In the
             spatial-fold regime they chain through ONE fold (halo 4 -> 2 ->
             0), saving a fold/unfold round-trip per stage; remat keeps the
-            per-block form (jax.checkpoint wraps plain __call__)."""
-            chunks = sf.fold_chunks(x.shape) if not self.remat else 1
+            per-block form (jax.checkpoint wraps plain __call__). When the
+            fused-Pallas gate covers the shape, the blocks are called plain
+            (each becomes two fused kernel passes — beats the paired fold
+            1.44-1.65x at those shapes, probe table in docs/performance.md)."""
+            from ..ops.pallas_resblock import fused_block_gate
+
+            pallas = Conv is nn.Conv and x.shape[-1] == ch and (
+                fused_pallas is True
+                or (fused_pallas == "auto"
+                    and fused_block_gate(x.shape, jnp.dtype(self.dtype).itemsize))
+            )
+            chunks = sf.fold_chunks(x.shape) if not (self.remat or pallas) else 1
             if chunks > 1:
                 B = x.shape[0]
                 xc = sf.fold_halo(x, chunks, halo=4)
@@ -158,8 +196,10 @@ class CLIPCondUNet(nn.Module):
                 xc = RB(ch, dtype=self.dtype, int8=self.int8, name=name1)(
                     xc, h, folded_batch=B, halo=2)
                 return sf.unfold(xc, B)
-            x = RB(ch, dtype=self.dtype, int8=self.int8, name=name0)(x, h)
-            return RB(ch, dtype=self.dtype, int8=self.int8, name=name1)(x, h)
+            x = RB(ch, dtype=self.dtype, int8=self.int8,
+                   fused_pallas=fused_pallas, name=name0)(x, h)
+            return RB(ch, dtype=self.dtype, int8=self.int8,
+                      fused_pallas=fused_pallas, name=name1)(x, h)
 
         # Encoder: skip captured after the 2 ResBlocks, before downsample.
         skips = []
@@ -173,8 +213,10 @@ class CLIPCondUNet(nn.Module):
             )(x)
             ch = ch * m
 
-        x = RB(ch, dtype=self.dtype, int8=self.int8, name="mid1")(x, h)
-        x = RB(ch, dtype=self.dtype, int8=self.int8, name="mid2")(x, h)
+        x = RB(ch, dtype=self.dtype, int8=self.int8,
+               fused_pallas=fused_pallas, name="mid1")(x, h)
+        x = RB(ch, dtype=self.dtype, int8=self.int8,
+               fused_pallas=fused_pallas, name="mid2")(x, h)
 
         # Decoder with additive skips after each up-stage.
         for j, m in enumerate(reversed(self.ch_mult)):
@@ -192,13 +234,33 @@ class CLIPCondUNet(nn.Module):
 
         scale = self.param("out_norm_scale", nn.initializers.ones, (ch,), jnp.float32)
         bias = self.param("out_norm_bias", nn.initializers.zeros, (ch,), jnp.float32)
+        if self.fused_pallas is not False and not self.remat and (
+            self.fused_pallas is True
+            or fused_boundary_gate(x.shape, self.img_ch, itemsize)
+        ):
+            # GN + head conv as ONE Pallas pass: GroupNorm folds into the
+            # kernel's per-(batch, channel) affine (only the stats reduction
+            # stays XLA), eliminating both the normalize HBM round-trip and
+            # XLA's ~1% MFU 3-lane conv (reference unet.py:78-79,105: GN ->
+            # conv, no activation).
+            from ..ops.pallas_resblock import gn_affine
+            from .blocks import _ConvParams
+
+            ko, bo = _ConvParams(self.img_ch, ch, name="out")()
+            A, Bv = gn_affine(x, scale, bias, 8)
+            y, _ = affine_conv3x3(
+                x.astype(self.dtype), A, Bv,
+                ko.astype(self.dtype).reshape(9, ch, self.img_ch), bo,
+            )
+            return y
         x = group_norm(x, (scale, bias), groups=8)
         # The 128->3 head conv hits the same small-batch tiling pathology as
         # the ResBlocks (13.3 -> 9.8 ms folded at B=2 @1024, docs 1024px
         # section); fold in the measured-win regime. NOTE the input here is
         # post-GroupNorm, but the head conv's SAME padding pads THIS tensor,
         # so fold_halo's zero edges are exactly right (in_conv folding was
-        # measured a loss, 7.9 -> 9.5 ms, and stays direct).
+        # measured a loss, 7.9 -> 9.5 ms, and stays direct — superseded by
+        # the fused boundary path above in its gate regime).
         from ..ops import spatial_fold as sf
 
         chunks = sf.fold_chunks(x.shape)

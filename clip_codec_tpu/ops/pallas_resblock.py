@@ -46,22 +46,31 @@ VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the ~16MB/core VMEM
 
 
 def _pick_th(H: int, W: int, cin: int, cout: int, itemsize: int) -> int:
-    """Largest row-tile TH dividing H such that scratch + acc + out fit."""
-    for th in (128, 64, 32, 16, 8):
+    """Largest row-tile TH dividing H such that scratch + acc + out fit.
+
+    TH=4/2 entries exist for the huge-spatial regime (W=1024 @128ch needs
+    TH=4 to fit; TH=8 was ~19MB and killed the Mosaic compile) — TH is the
+    untiled leading dim, so small values don't break the (8, 128) layout.
+    Channel counts are rounded up to the 128-lane tile: a 3-channel head/in
+    conv occupies full 128-lane vregs in VMEM regardless of its true width.
+    """
+    ci = -(-cin // 128) * 128
+    co = -(-cout // 128) * 128
+    for th in (128, 64, 32, 16, 8, 4, 2):
         if H % th:
             continue
-        scratch = (th + 2) * W * cin * itemsize
-        act32 = 2 * (th + 2) * W * cin * 4  # fp32 act + one rolled copy
-        acc = th * W * cout * 4
-        out = th * W * cout * itemsize
-        wts = 9 * cin * cout * itemsize
+        scratch = (th + 2) * W * ci * itemsize
+        act32 = 2 * (th + 2) * W * ci * 4  # fp32 act + one rolled copy
+        acc = th * W * co * 4
+        out = th * W * co * itemsize
+        wts = 9 * ci * co * itemsize
         if scratch + act32 + acc + out + wts <= VMEM_BUDGET:
             return th
-    return 8
+    return None  # no fitting tile: caller must keep the XLA path
 
 
 def _kernel(x_hbm, a_ref, b_ref, w_ref, bias_ref, *rest, TH, H, W, cin, cout,
-            nH, has_add, want_moments):
+            nH, has_add, want_moments, linear):
     if has_add:
         add_ref, y_ref = rest[0], rest[1]
         outs = rest[2:]
@@ -115,7 +124,7 @@ def _kernel(x_hbm, a_ref, b_ref, w_ref, bias_ref, *rest, TH, H, W, cin, cout,
     a_vec = a_ref[b, :].astype(jnp.float32)
     b_vec = b_ref[b, :].astype(jnp.float32)
     pre = x_tile.astype(jnp.float32) * a_vec[None, None, :] + b_vec[None, None, :]
-    act = pre * jax.nn.sigmoid(pre)
+    act = pre if linear else pre * jax.nn.sigmoid(pre)
     # Valid-row mask, built 3-D in int32: Mosaic only supports minor-dim
     # broadcasts for 32-bit types, so no bool[:, :, None] here. Columns span
     # exactly the image width; horizontal padding is handled at the shifts.
@@ -161,16 +170,33 @@ def _kernel(x_hbm, a_ref, b_ref, w_ref, bias_ref, *rest, TH, H, W, cin, cout,
     y_ref[0] = acc.astype(y_ref.dtype)
 
 
-def _reference(x, A, B, w9, bias, add):
-    """jnp oracle (and the custom_vjp backward path)."""
+def _reference(x, A, B, w9, bias, add, linear=False):
+    """jnp oracle (and the custom_vjp backward path).
+
+    The conv goes through the space-to-batch fold at fold-gate shapes
+    (math-identical, tests/test_spatial_fold.py): anyone differentiating
+    through the fused forward then gets the FOLDED dgrad/wgrad — measured
+    2.43x over direct XLA at 512px small-batch train — instead of the
+    pathological direct tiling. The conv pads the post-silu tensor, so the
+    fold's zero edge rows reproduce SAME padding exactly."""
+    from .spatial_fold import fold_chunks, fold_halo, unfold
+
     pre = x.astype(jnp.float32) * A[:, None, None, :] + B[:, None, None, :]
-    act = (pre * jax.nn.sigmoid(pre)).astype(x.dtype)
+    act = (pre if linear else pre * jax.nn.sigmoid(pre)).astype(x.dtype)
     k = w9.reshape(3, 3, w9.shape[1], w9.shape[2])  # (kh, kw, Cin, Cout)
-    y = jax.lax.conv_general_dilated(
-        act, k, (1, 1), ((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    )
+    chunks = fold_chunks(act.shape)
+
+    def conv(a, hpad):
+        return jax.lax.conv_general_dilated(
+            a, k, (1, 1), (hpad, (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+
+    if chunks > 1:
+        y = unfold(conv(fold_halo(act, chunks, halo=1), (0, 0)), act.shape[0])
+    else:
+        y = conv(act, (1, 1))
     y = y + bias.astype(jnp.float32)[None, None, None, :]
     if add is not None:
         y = y + add.astype(jnp.float32)
@@ -183,11 +209,15 @@ def _moments_of(y32):
     return jnp.stack([s, ss], axis=1)  # (B, 2, Cout)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def _fused(x, A, B, w9, bias, add, want_moments):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _fused(x, A, B, w9, bias, add, want_moments, linear=False):
     B_, H, W, cin = x.shape
     cout = w9.shape[2]
     TH = _pick_th(H, W, cin, cout, x.dtype.itemsize)
+    if TH is None:
+        raise ValueError(
+            f"affine_silu_conv3x3: no row tile fits VMEM for shape {x.shape} "
+            f"-> {cout}ch (gate with fused_block_gate before calling)")
     nH = H // TH
     has_add = add is not None
 
@@ -223,7 +253,7 @@ def _fused(x, A, B, w9, bias, add, want_moments):
 
     kernel = functools.partial(
         _kernel, TH=TH, H=H, W=W, cin=cin, cout=cout, nH=nH,
-        has_add=has_add, want_moments=want_moments,
+        has_add=has_add, want_moments=want_moments, linear=linear,
     )
     flops = 2 * 9 * cin * cout * H * W * B_
     res = pl.pallas_call(
@@ -251,17 +281,17 @@ def _fused(x, A, B, w9, bias, add, want_moments):
     return res, None
 
 
-def _fused_fwd(x, A, B, w9, bias, add, want_moments):
-    out = _fused(x, A, B, w9, bias, add, want_moments)
+def _fused_fwd(x, A, B, w9, bias, add, want_moments, linear=False):
+    out = _fused(x, A, B, w9, bias, add, want_moments, linear)
     return out, (x, A, B, w9, bias, add)
 
 
-def _fused_bwd(want_moments, residuals, g):
+def _fused_bwd(want_moments, linear, residuals, g):
     x, A, B, w9, bias, add = residuals
     gy, gmom = g
 
     def ref_fn(x, A, B, w9, bias, add):
-        y32 = _reference(x, A, B, w9, bias, add)
+        y32 = _reference(x, A, B, w9, bias, add, linear)
         mom = _moments_of(y32) if want_moments else None
         y = y32.astype(x.dtype)
         return y, mom
@@ -308,7 +338,146 @@ def affine_silu_conv3x3(
     return _fused(x, A, B, w9, bias, add, want_moments)
 
 
-def affine_silu_conv3x3_reference(x, A, B, w9, bias, add=None, want_moments=False):
-    y32 = _reference(x, A, B, w9, bias, add)
+def affine_conv3x3(
+    x: jax.Array,
+    A: jax.Array,
+    B: jax.Array,
+    w9: jax.Array,
+    bias: jax.Array,
+    add: Optional[jax.Array] = None,
+    want_moments: bool = False,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """``conv3x3(x*A + B) + bias (+ add)`` — the NO-activation variant of
+    :func:`affine_silu_conv3x3`, for the U-Net boundary convs: the head conv
+    consumes GroupNorm output with no activation (reference
+    ``models/unet.py:78-79,105`` — GN folds into (A, B)) and the in conv is
+    a plain conv (A=1, B=0). Both are HBM-bound at huge spatial sizes where
+    XLA's 3-lane tiling runs ~1% MFU (docs/performance.md 1024px section)."""
+    return _fused(x, A, B, w9, bias, add, want_moments, True)
+
+
+def affine_silu_conv3x3_reference(x, A, B, w9, bias, add=None,
+                                  want_moments=False, linear=False):
+    y32 = _reference(x, A, B, w9, bias, add, linear)
     mom = _moments_of(y32) if want_moments else None
     return y32.astype(x.dtype), mom
+
+
+# ----------------------------------------------------------- block-level glue
+#
+# A whole ResBlock (models/blocks.py ResBlock == reference blocks.py:28-44)
+# is TWO kernel calls once every per-(batch, channel) affine is folded in:
+#
+#   A1,B1 = GN1-as-affine(stats(x))          [one XLA reduction pass, or the
+#                                             previous kernel's moments]
+#   y     = affine_silu_conv3x3(x, A1, B1, w1, bias1, want_moments=True)
+#   A2,B2 = GN2∘FiLM-as-affine(moments(y))   [tiny (B,C) math, no HBM pass]
+#   out   = affine_silu_conv3x3(y, A2, B2, w2, bias2, add=x)
+#
+# The FiLM y' = y*(1+s)+b never materializes: GN2's statistics over y' are
+# derived from y's raw per-channel moments (E[y'], E[y'^2] are affine images
+# of E[y], E[y^2]), and the (1+s) scale composes into A2/B2.
+
+GN_EPS = 1e-5
+
+
+def gn_affine(x: jax.Array, gamma: jax.Array, beta: jax.Array, groups: int,
+              eps: float = GN_EPS) -> Tuple[jax.Array, jax.Array]:
+    """Per-(batch, channel) affine (A, B) such that x*A + B == GroupNorm(x)
+    with weight ``gamma``/``beta`` — one reduction pass over x."""
+    Bn, H, W, C = x.shape
+    xg = x.astype(jnp.float32).reshape(Bn, -1, groups, C // groups)
+    m = jnp.mean(xg, axis=(1, 3))                      # (B, G)
+    v = jnp.mean(jnp.square(xg), axis=(1, 3)) - m * m
+    mc = jnp.repeat(m, C // groups, axis=1)            # (B, C)
+    vc = jnp.repeat(v, C // groups, axis=1)
+    A = gamma[None, :] * jax.lax.rsqrt(vc + eps)
+    return A, beta[None, :] - mc * A
+
+
+def gn_affine_from_moments(
+    mom: jax.Array, hw: int, gamma: jax.Array, beta: jax.Array, groups: int,
+    film: Optional[Tuple[jax.Array, jax.Array]] = None, eps: float = GN_EPS,
+) -> Tuple[jax.Array, jax.Array]:
+    """GN affine for an input y given its per-channel raw moments
+    ``mom`` (B, 2, C) = [sum, sum-of-squares over H*W], optionally with a
+    FiLM ``y' = y*(1+s) + b`` folded in front of the normalization: the
+    returned (A, B) satisfy y*A + B == GN(FiLM(y))."""
+    s, ss = mom[:, 0], mom[:, 1]
+    mean_y = s / hw
+    ey2 = ss / hw
+    if film is not None:
+        f1 = 1.0 + film[0]
+        fb = film[1]
+        mean_yp = f1 * mean_y + fb
+        ey2p = f1 * f1 * ey2 + 2.0 * f1 * fb * mean_y + fb * fb
+    else:
+        f1 = jnp.ones_like(mean_y)
+        fb = jnp.zeros_like(mean_y)
+        mean_yp, ey2p = mean_y, ey2
+    Bn, C = mean_y.shape
+    g = groups
+    mg = jnp.mean(mean_yp.reshape(Bn, g, C // g), axis=2)
+    eg = jnp.mean(ey2p.reshape(Bn, g, C // g), axis=2)
+    vg = jnp.maximum(eg - mg * mg, 0.0)  # raw-moment form can go -eps
+    mgc = jnp.repeat(mg, C // g, axis=1)
+    vgc = jnp.repeat(vg, C // g, axis=1)
+    inv = gamma[None, :] * jax.lax.rsqrt(vgc + eps)
+    return f1 * inv, (fb - mgc) * inv + beta[None, :]
+
+
+def fused_block_gate(shape: Tuple[int, ...], itemsize: int = 2,
+                     backend: Optional[str] = None) -> bool:
+    """Measured-win regime for the two-kernel fused ResBlock (probe table in
+    docs/performance.md round-5 section; scripts/probe_fused_block.py):
+
+    The kernel's effective MFU is VPU-bound and rises with C (the VPU work
+    scales with H*W*C, the MXU work with H*W*C^2): ~40-44% at 128ch, 59-78%
+    at 256ch. It therefore wins wherever XLA's conv tiling — direct or
+    space-to-batch folded — sits below that: every >=512px 128ch stage
+    (fold peaks 27-32%) and every >=256px 256ch stage at small batch (fold
+    peaks 41-47%). It LOSES at the well-tiled small-spatial 128ch shapes
+    (B=16 @256: 68% folded; B=2 @256x128: 71.6% folded), which stay on the
+    fold/XLA paths. B=1 @1024 measured 8.38 vs 9.78 ms — included.
+    """
+    if len(shape) != 4:
+        return False
+    Bn, H, W, C = shape
+    try:
+        if (backend or jax.default_backend()) != "tpu":
+            return False
+    except RuntimeError:  # no backend yet
+        return False
+    if H % 2 or W % 128 or _pick_th(H, W, C, C, itemsize) is None:
+        return False
+    m = min(H, W)
+    if C == 128:
+        # 1024px: wins at every batch (direct XLA is 14.7% even at B=8);
+        # 512px: wins at the small-batch serving regime, loses to XLA's
+        # good B>=8 tiling (512px B=8-16 runs 57-70% under XLA).
+        return m >= 1024 or (m >= 512 and Bn <= 4)
+    if C == 256:
+        return m >= 256 and Bn <= 4
+    return False
+
+
+def fused_boundary_gate(shape: Tuple[int, ...], cout: int, itemsize: int = 2,
+                        backend: Optional[str] = None) -> bool:
+    """Gate for the U-Net boundary convs (3->base in conv, base->3 head
+    conv) through :func:`affine_conv3x3`. These are HBM-bound ops that XLA
+    runs at ~1% MFU at huge spatial sizes (3-lane tiling waste, measured
+    ~21 ms/step combined at 1024px — docs/performance.md); the kernel's
+    measured win regime is the same spatial rule as the 128ch row of
+    :func:`fused_block_gate`."""
+    if len(shape) != 4:
+        return False
+    Bn, H, W, C = shape
+    try:
+        if (backend or jax.default_backend()) != "tpu":
+            return False
+    except RuntimeError:
+        return False
+    if H % 2 or W % 128 or _pick_th(H, W, C, cout, itemsize) is None:
+        return False
+    m = min(H, W)
+    return m >= 1024 or (m >= 512 and Bn <= 4)

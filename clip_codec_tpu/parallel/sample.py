@@ -72,6 +72,12 @@ def sample_spatial_sharded(
 
     Use when per-chip HBM can't hold the batch at 512px+: activations scale
     as B*H*W*C and this splits H.
+
+    NOTE: build the model with ``CLIPCondUNet(fused_pallas=False)`` for this
+    path — the fused-Pallas ResBlock kernel has no GSPMD partition rule, so
+    under spatial sharding XLA would all-gather its operands per block,
+    defeating the memory split (single-chip sampling keeps the kernel win;
+    the gate fires on trace-time global shapes and cannot see shardings).
     """
     n_data = mesh.shape[DATA_AXIS]
     n_model = mesh.shape[MODEL_AXIS]

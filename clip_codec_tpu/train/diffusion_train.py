@@ -215,6 +215,10 @@ def train_diffusion(
     net = CLIPCondUNet(
         z_dim=data.z_dim, base=cfg.base, ch_mult=cfg.ch_mult, img_ch=3,
         dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32, remat=cfg.remat,
+        # Training keeps the spatial-fold form: the fused-Pallas block's
+        # custom_vjp backward re-runs the XLA reference, so its forward win
+        # does not pay once gradients are needed (docs/performance.md r5).
+        fused_pallas=False,
     )
     sched = NoiseSchedule.create(cfg.timesteps, cfg.schedule)
     tx = optax.adamw(cfg.lr)

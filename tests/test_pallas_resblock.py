@@ -46,6 +46,96 @@ def test_matches_reference_bf16(rng):
     )
 
 
+def test_linear_variant_matches_reference(rng):
+    """affine_conv3x3 (no activation — the GN->head-conv / in-conv form),
+    including the 3-channel boundary widths."""
+    from clip_codec_tpu.ops.pallas_resblock import affine_conv3x3
+
+    for (cin, cout) in ((8, 3), (3, 8), (8, 8)):
+        x, A, Bv, w9, bias, _ = _mk(rng, 2, 16, 16, cin, cout, jnp.float32, False)
+        with pltpu.force_tpu_interpret_mode():
+            y, _ = affine_conv3x3(x, A, Bv, w9, bias)
+        y_ref, _ = affine_silu_conv3x3_reference(x, A, Bv, w9, bias, linear=True)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-5, atol=1e-5)
+
+    # gradients flow through the linear variant's custom_vjp too
+    x, A, Bv, w9, bias, _ = _mk(rng, 1, 8, 8, 8, 8, jnp.float32, False)
+
+    def loss_pallas(w9):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(affine_conv3x3(x, A, Bv, w9, bias)[0] ** 2)
+
+    def loss_ref(w9):
+        return jnp.sum(affine_silu_conv3x3_reference(x, A, Bv, w9, bias, linear=True)[0] ** 2)
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(loss_pallas)(w9)), np.asarray(jax.grad(loss_ref)(w9)),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_fused_block_gate():
+    from clip_codec_tpu.ops.pallas_resblock import fused_block_gate as gate
+
+    # measured-win shapes (probe table, docs/performance.md round 5)
+    assert gate((2, 1024, 1024, 128), backend="tpu")
+    assert gate((8, 1024, 1024, 128), backend="tpu")   # 1024px wins at any B
+    assert gate((1, 1024, 1024, 128), backend="tpu")
+    assert gate((2, 512, 512, 128), backend="tpu")
+    assert gate((2, 512, 512, 256), backend="tpu")
+    assert gate((2, 256, 256, 256), backend="tpu")
+    # measured-loss shapes stay on the fold/XLA paths
+    assert not gate((16, 256, 256, 128), backend="tpu")  # headline
+    assert not gate((2, 256, 256, 128), backend="tpu")   # fold runs 71.6%
+    assert not gate((8, 512, 512, 128), backend="tpu")   # XLA B>=8 tiling ok
+    assert not gate((2, 128, 128, 512), backend="tpu")   # mid blocks
+    # never on non-TPU backends (no Mosaic)
+    assert not gate((2, 1024, 1024, 128), backend="cpu")
+    assert not gate((2, 1024, 1024, 128))  # default backend here is cpu
+
+
+def test_resblock_pallas_path_parity(rng):
+    """ResBlock(fused_pallas=True) — the two-kernel whole-block form with
+    GN2 stats derived from kernel-1 moments — vs the direct path: identical
+    param tree, matching output (fp32; interpret mode)."""
+    from clip_codec_tpu.models.blocks import ResBlock
+
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 16)), jnp.float32)
+    h = jnp.asarray(rng.standard_normal((2, 32)), jnp.float32)
+    direct = ResBlock(16, fused_pallas=False)
+    fused = ResBlock(16, fused_pallas=True)
+    with pltpu.force_tpu_interpret_mode():
+        p_f = fused.init(jax.random.PRNGKey(0), x, h)
+    p_d = direct.init(jax.random.PRNGKey(0), x, h)
+    assert jax.tree_util.tree_structure(p_f) == jax.tree_util.tree_structure(p_d)
+    for a, b in zip(jax.tree_util.tree_leaves(p_f), jax.tree_util.tree_leaves(p_d)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    y_d = direct.apply(p_d, x, h)
+    with pltpu.force_tpu_interpret_mode():
+        y_f = fused.apply(p_d, x, h)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_d), rtol=1e-4, atol=1e-4)
+
+
+def test_unet_pallas_path_parity(rng):
+    """CLIPCondUNet(fused_pallas=True) forward vs the default path at a tiny
+    config — covers the rb_pair dispatch and the mid blocks."""
+    from clip_codec_tpu.models import CLIPCondUNet
+
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
+    z = jnp.asarray(rng.standard_normal((2, 8)), jnp.float32)
+    t = jnp.asarray([3, 40], jnp.int32)
+    net_d = CLIPCondUNet(z_dim=8, base=8, ch_mult=(1, 2), img_ch=3, fused_pallas=False)
+    net_f = CLIPCondUNet(z_dim=8, base=8, ch_mult=(1, 2), img_ch=3, fused_pallas=True)
+    p = net_d.init(jax.random.PRNGKey(0), x[:1], z[:1], t[:1])
+    with pltpu.force_tpu_interpret_mode():
+        p_f = net_f.init(jax.random.PRNGKey(0), x[:1], z[:1], t[:1])
+    assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(p_f)
+    y_d = net_d.apply(p, x, z, t)
+    with pltpu.force_tpu_interpret_mode():
+        y_f = net_f.apply(p, x, z, t)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_d), rtol=2e-4, atol=2e-4)
+
+
 def test_gradients_flow(rng):
     """custom_vjp backward (XLA reference path) under jax.grad, incl. the
     moments cotangent."""
