@@ -85,12 +85,13 @@ class ResBlock(nn.Module):
     ``fused_pallas``: the whole block as TWO fused Pallas kernel passes
     (``ops/pallas_resblock.py``: GN1 and GN2∘FiLM fold into per-(batch,
     channel) affines; GN2 statistics derive from kernel-1's fp32 moments so
-    the FiLM'd intermediate never materializes). "auto" engages in the
-    measured-win regime (``fused_block_gate``: >=512px 128ch, >=256px 256ch
-    at small batch — beats the fold path 1.44-1.65x there); True forces
-    (tests, via interpret mode); False disables (training: the kernel's
-    custom_vjp backward re-runs the XLA reference, so its forward win does
-    not pay during training). Same param tree as the other paths.
+    the FiLM'd intermediate never materializes). "auto" defers to
+    ``fused_block_gate`` — which is currently OFF everywhere: the kernel
+    measures at PARITY with the fold/XLA paths in the current environment
+    (r5 re-probes, docs/performance.md "1024px re-measured"); True forces
+    (tests via interpret mode; on-chip A/B); False disables (training: the
+    kernel's custom_vjp backward re-runs the XLA reference). Same param
+    tree as the other paths.
     """
 
     features: int

@@ -139,22 +139,21 @@ class CLIPCondUNet(nn.Module):
         from ..ops.pallas_resblock import affine_conv3x3, fused_boundary_gate
 
         itemsize = jnp.dtype(self.dtype).itemsize
-        boundary = self.fused_pallas is not False and not self.remat and (
-            self.fused_pallas is True
-            or fused_boundary_gate(x_t.shape, self.base, itemsize)
-        )
-        if boundary:
-            # 3->base in conv as a Pallas pass (identity affine): XLA runs
-            # this at ~1% MFU at 1024px (3-lane waste); the kernel is
-            # HBM-bound. Same "in_conv" {kernel, bias} params as nn.Conv.
+        # The 3->base IN conv cannot take the fused-Pallas form: Mosaic
+        # rejects HBM memref slices whose lane (minor) dim is not aligned to
+        # the 128 tile, and the image input has img_ch=3 lanes (measured on
+        # chip, scripts/probe_boundary_conv.py r5: "Slice shape along
+        # dimension 3 must be aligned to tiling (128), but is 3"). At the
+        # huge-spatial shapes it becomes an im2col GEMM instead (1.2 vs
+        # 2.2 ms standalone at 1024px B=2, ops/im2col.py); everywhere else
+        # the direct conv is kept.
+        from ..ops.im2col import conv3x3_im2col, im2col_gate
+
+        if self.fused_pallas is not False and im2col_gate(x_t.shape):
             from .blocks import _ConvParams
 
             ki, bi = _ConvParams(self.base, self.img_ch, name="in_conv")()
-            ones = jnp.ones((x_t.shape[0], self.img_ch), jnp.float32)
-            x, _ = affine_conv3x3(
-                x_t.astype(self.dtype), ones, 0.0 * ones,
-                ki.astype(self.dtype).reshape(9, self.img_ch, self.base), bi,
-            )
+            x = conv3x3_im2col(x_t.astype(self.dtype), ki.astype(self.dtype), bi)
         else:
             x = nn.Conv(self.base, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="in_conv")(
                 x_t.astype(self.dtype)
@@ -177,9 +176,10 @@ class CLIPCondUNet(nn.Module):
             spatial-fold regime they chain through ONE fold (halo 4 -> 2 ->
             0), saving a fold/unfold round-trip per stage; remat keeps the
             per-block form (jax.checkpoint wraps plain __call__). When the
-            fused-Pallas gate covers the shape, the blocks are called plain
-            (each becomes two fused kernel passes — beats the paired fold
-            1.44-1.65x at those shapes, probe table in docs/performance.md)."""
+            fused-Pallas gate covers the shape (r5: default none — the
+            kernel measures at parity with the fold path, docs/performance
+            "1024px re-measured"), the blocks are called plain (each
+            becomes two fused kernel passes)."""
             from ..ops.pallas_resblock import fused_block_gate
 
             pallas = Conv is nn.Conv and x.shape[-1] == ch and (
@@ -240,9 +240,9 @@ class CLIPCondUNet(nn.Module):
         ):
             # GN + head conv as ONE Pallas pass: GroupNorm folds into the
             # kernel's per-(batch, channel) affine (only the stats reduction
-            # stays XLA), eliminating both the normalize HBM round-trip and
-            # XLA's ~1% MFU 3-lane conv (reference unet.py:78-79,105: GN ->
-            # conv, no activation).
+            # stays XLA) — reference unet.py:78-79,105: GN -> conv, no
+            # activation. Gate default-off in r5 (parity with the folded
+            # head in the whole-net A/B); reachable via fused_pallas=True.
             from ..ops.pallas_resblock import gn_affine
             from .blocks import _ConvParams
 

@@ -428,47 +428,33 @@ def gn_affine_from_moments(
 
 def fused_block_gate(shape: Tuple[int, ...], itemsize: int = 2,
                      backend: Optional[str] = None) -> bool:
-    """Measured-win regime for the two-kernel fused ResBlock (probe table in
-    docs/performance.md round-5 section; scripts/probe_fused_block.py):
+    """Auto-gate for the two-kernel fused ResBlock — currently returns
+    False everywhere: the kernel is at PARITY with XLA today, not a win.
 
-    The kernel's effective MFU is VPU-bound and rises with C (the VPU work
-    scales with H*W*C, the MXU work with H*W*C^2): ~40-44% at 128ch, 59-78%
-    at 256ch. It therefore wins wherever XLA's conv tiling — direct or
-    space-to-batch folded — sits below that: every >=512px 128ch stage
-    (fold peaks 27-32%) and every >=256px 256ch stage at small batch (fold
-    peaks 41-47%). It LOSES at the well-tiled small-spatial 128ch shapes
-    (B=16 @256: 68% folded; B=2 @256x128: 71.6% folded), which stay on the
-    fold/XLA paths. B=1 @1024 measured 8.38 vs 9.78 ms — included.
+    History (docs/performance.md "1024px re-measured"): the kernel was
+    built when XLA's direct conv tiling collapsed at small-batch huge-
+    spatial shapes (ResBlock @1024x128 B=2: 42.6 ms direct / 22.5 folded
+    vs 15.7 fused — a 1.4-1.9x win, round-4 probes). Re-probed this round
+    on the SAME shapes, XLA's direct conv now runs 39-70% MFU and all
+    three forms are within noise (fused 15.68 / folded 15.27 / direct
+    16.11 ms @1024x128 B=2; 2.28/2.22/2.23 @256x256) — the terminal's
+    compiler stack improved between rounds, and per the keep-only-if-it-
+    beats-XLA rule the default dispatch stays on the XLA/fold paths.
+    The kernel remains force-able (``fused_pallas=True``) and parity-
+    tested so the A/B is one flag if a future environment regresses.
     """
-    if len(shape) != 4:
-        return False
-    Bn, H, W, C = shape
-    try:
-        if (backend or jax.default_backend()) != "tpu":
-            return False
-    except RuntimeError:  # no backend yet
-        return False
-    if H % 2 or W % 128 or _pick_th(H, W, C, C, itemsize) is None:
-        return False
-    m = min(H, W)
-    if C == 128:
-        # 1024px: wins at every batch (direct XLA is 14.7% even at B=8);
-        # 512px: wins at the small-batch serving regime, loses to XLA's
-        # good B>=8 tiling (512px B=8-16 runs 57-70% under XLA).
-        return m >= 1024 or (m >= 512 and Bn <= 4)
-    if C == 256:
-        return m >= 256 and Bn <= 4
-    return False
+    del shape, itemsize, backend
+    return False  # parity, not a win, in the current environment (r5)
 
 
 def fused_boundary_gate(shape: Tuple[int, ...], cout: int, itemsize: int = 2,
                         backend: Optional[str] = None) -> bool:
-    """Gate for the U-Net boundary convs (3->base in conv, base->3 head
-    conv) through :func:`affine_conv3x3`. These are HBM-bound ops that XLA
-    runs at ~1% MFU at huge spatial sizes (3-lane tiling waste, measured
-    ~21 ms/step combined at 1024px — docs/performance.md); the kernel's
-    measured win regime is the same spatial rule as the 128ch row of
-    :func:`fused_block_gate`."""
+    """Gate for the U-Net head conv (GN + base->3) through
+    :func:`affine_conv3x3` — currently returns False everywhere (parity
+    with the shipped fold path in the current environment, see the
+    default-OFF note at the bottom); the structural Mosaic constraints are
+    still enforced first so a True-forcing caller gets a clear answer for
+    shapes that can never compile."""
     if len(shape) != 4:
         return False
     Bn, H, W, C = shape
@@ -477,7 +463,22 @@ def fused_boundary_gate(shape: Tuple[int, ...], cout: int, itemsize: int = 2,
             return False
     except RuntimeError:
         return False
+    # Mosaic constraint (measured on chip, probe_boundary_conv.py r5): the
+    # kernel's manual halo DMA slices the HBM input per (batch, row-window),
+    # and memref slices require the lane (minor) dim aligned to the 128
+    # tile. A 3-lane image input therefore can NOT take this path (the
+    # in conv stays on XLA); the head conv's 128-lane input is fine — its
+    # 3-lane OUTPUT rides a regular BlockSpec, which allows full-dim blocks.
+    if C % 128:
+        return False
     if H % 2 or W % 128 or _pick_th(H, W, C, cout, itemsize) is None:
         return False
-    m = min(H, W)
-    return m >= 1024 or (m >= 512 and Bn <= 4)
+    # Default OFF (r5): the fused head measures 8.09 ms vs 15.76 for XLA
+    # GN+direct-conv at 1024px B=2, but the SHIPPED head path is the
+    # spatial-fold form, and the whole-net A/B (scripts/probe_1024_e2e_ab)
+    # shows fused == folded in context — parity, not a win, so the gate
+    # follows the keep-only-if-it-beats-XLA rule. Force with
+    # ``fused_pallas=True`` (parity-tested; a 2x standby if the fold path
+    # is ever retired or the environment regresses).
+    del Bn
+    return False

@@ -75,23 +75,35 @@ def test_linear_variant_matches_reference(rng):
 
 
 def test_fused_block_gate():
+    """The auto gates are OFF everywhere (r5): the fused kernels measured
+    at PARITY with the fold/XLA paths after the terminal's compiler stack
+    improved (probe tables in docs/performance.md "1024px re-measured").
+    The kernels stay force-able via fused_pallas=True, parity-pinned by the
+    tests above."""
     from clip_codec_tpu.ops.pallas_resblock import fused_block_gate as gate
 
-    # measured-win shapes (probe table, docs/performance.md round 5)
-    assert gate((2, 1024, 1024, 128), backend="tpu")
-    assert gate((8, 1024, 1024, 128), backend="tpu")   # 1024px wins at any B
-    assert gate((1, 1024, 1024, 128), backend="tpu")
-    assert gate((2, 512, 512, 128), backend="tpu")
-    assert gate((2, 512, 512, 256), backend="tpu")
-    assert gate((2, 256, 256, 256), backend="tpu")
-    # measured-loss shapes stay on the fold/XLA paths
-    assert not gate((16, 256, 256, 128), backend="tpu")  # headline
-    assert not gate((2, 256, 256, 128), backend="tpu")   # fold runs 71.6%
-    assert not gate((8, 512, 512, 128), backend="tpu")   # XLA B>=8 tiling ok
-    assert not gate((2, 128, 128, 512), backend="tpu")   # mid blocks
-    # never on non-TPU backends (no Mosaic)
+    for shape in [
+        (2, 1024, 1024, 128), (8, 1024, 1024, 128), (2, 512, 512, 256),
+        (16, 256, 256, 128), (2, 128, 128, 512),
+    ]:
+        assert not gate(shape, backend="tpu")
     assert not gate((2, 1024, 1024, 128), backend="cpu")
     assert not gate((2, 1024, 1024, 128))  # default backend here is cpu
+
+
+def test_fused_boundary_gate():
+    from clip_codec_tpu.ops.pallas_resblock import fused_boundary_gate as gate
+
+    # default OFF everywhere (parity with the fold path, r5)
+    assert not gate((2, 1024, 1024, 128), 3, backend="tpu")
+    assert not gate((2, 512, 512, 128), 3, backend="tpu")
+    assert not gate((16, 256, 256, 128), 3, backend="tpu")
+    # and STRUCTURALLY impossible for thin-lane inputs: Mosaic rejects HBM
+    # memref slices with a non-128-aligned lane dim (measured on chip r5,
+    # probe_boundary_conv.py — "must be aligned to tiling (128), but is 3")
+    assert not gate((2, 1024, 1024, 3), 128, backend="tpu")
+    assert not gate((2, 1024, 1024, 8), 128, backend="tpu")
+    assert not gate((2, 1024, 1024, 128), 3, backend="cpu")
 
 
 def test_resblock_pallas_path_parity(rng):
