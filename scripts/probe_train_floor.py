@@ -37,8 +37,12 @@ PEAK = 197e12
 
 
 def measure(step_fn, params, opt_state, x0, z, w, n=10):
+    # the step donates params/opt_state — run on copies so the caller's
+    # trees survive across the probe's modes
+    p = jax.tree.map(jnp.copy, params)
+    o = jax.tree.map(jnp.copy, opt_state)
     t0 = time.time()
-    p, o, loss = step_fn(params, opt_state, x0, z, w, jax.random.PRNGKey(1), False)
+    p, o, loss = step_fn(p, o, x0, z, w, jax.random.PRNGKey(1), False)
     lv = float(loss)  # scalar fetch = real completion barrier over the tunnel
     compile_s = time.time() - t0
     t0 = time.time()
@@ -47,7 +51,12 @@ def measure(step_fn, params, opt_state, x0, z, w, n=10):
     lv = float(loss)
     dt = (time.time() - t0) / n
     assert np.isfinite(lv)
-    return dt, compile_s, lv
+    # whole-step cost model (the program was just compiled: this lower/
+    # compile hits the persistent cache, so it is near-free)
+    flops = float(
+        step_fn.lower(params, opt_state, x0, z, w, jax.random.PRNGKey(1), False)
+        .compile().cost_analysis()["flops"])
+    return dt, compile_s, lv, flops
 
 
 def main():
@@ -73,16 +82,16 @@ def main():
             "fold-forced(max_b=16)": functools.partial(orig_fold_chunks, max_b=16),
             "fold-off": functools.partial(orig_fold_chunks, max_b=0),
         }
-        flops = None
         for name, patched in modes.items():
             sf.fold_chunks = patched or orig_fold_chunks
             try:
                 tx = optax.adamw(2e-4)
                 step_fn = make_train_step(net, sched, tx, DiffusionTrainConfig())
                 opt_state = tx.init(params)
-                dt, cs, lv = measure(step_fn, params, opt_state, x0, z, w)
+                dt, cs, lv, fl = measure(step_fn, params, opt_state, x0, z, w)
                 print(f"[train {S}px B={B}] {name:24s} {dt*1e3:8.1f} ms/step "
-                      f"-> {B/dt:6.2f} img/s  (compile {cs:.0f}s, loss {lv:.3f})", flush=True)
+                      f"-> {B/dt:6.2f} img/s  MFU {fl/dt/PEAK:.3f} "
+                      f"(compile {cs:.0f}s, loss {lv:.3f})", flush=True)
             finally:
                 sf.fold_chunks = orig_fold_chunks
 
@@ -90,9 +99,10 @@ def main():
         tx = optax.adamw(2e-4, mu_dtype=jnp.bfloat16)
         step_fn = make_train_step(net, sched, tx, DiffusionTrainConfig())
         opt_state = tx.init(params)
-        dt, cs, lv = measure(step_fn, params, opt_state, x0, z, w)
+        dt, cs, lv, fl = measure(step_fn, params, opt_state, x0, z, w)
         print(f"[train {S}px B={B}] {'default+mu_bf16':24s} {dt*1e3:8.1f} ms/step "
-              f"-> {B/dt:6.2f} img/s  (compile {cs:.0f}s, loss {lv:.3f})", flush=True)
+              f"-> {B/dt:6.2f} img/s  MFU {fl/dt/PEAK:.3f} "
+              f"(compile {cs:.0f}s, loss {lv:.3f})", flush=True)
 
 
 if __name__ == "__main__":
