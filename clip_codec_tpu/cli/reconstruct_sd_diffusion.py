@@ -53,8 +53,10 @@ def main() -> None:
     ap.add_argument("--model_name", type=str, default="runwayml/stable-diffusion-v1-5")
     ap.add_argument("--out", type=Path, default=Path("recon.png"))
     ap.add_argument("--steps", type=int, default=30)
-    # beyond-reference: DPM-Solver++(2M) reaches DDIM-30-class quality at
-    # ~half the UNet evaluations (try --sampler dpmpp --steps 15)
+    # beyond-reference: DPM-Solver++(2M) reaches DDIM-30-class quality at a
+    # fraction of the UNet evaluations — measured on the SD path itself:
+    # dpmpp-5 >= ddim-30 on both PSNR and SSIM at 1/6 the evals
+    # (docs/performance.md "SD-path sampler knee"; try --sampler dpmpp --steps 10)
     ap.add_argument("--sampler", type=str, default="ddim", choices=("ddim", "dpmpp"))
     ap.add_argument("--eta", type=float, default=0.0)
     ap.add_argument("--guidance", type=float, default=5.0)
