@@ -81,15 +81,23 @@ class ConvTranspose4x2(nn.Module):
 
             y = conv_transpose_k4s2(xc, kc, None)
         else:
+            # Folded where its gate covers, else XLA's direct transposed
+            # conv. The r5 probe (scripts/probe_upsampler.py) measured
+            # IN-SCAN wins for the phase/one-GEMM forms at Cin>=256 shapes
+            # (up to 2.3x), but wiring that dispatch LOST the e2e headline
+            # (12.393 -> 12.199 img/s): in the real program the consumer is
+            # a skip-concat -> 3x3 conv and XLA's layout choice flips the
+            # verdict (same probe-consumer trap as docs "1024px re-measured"
+            # item 4). Both forms stay forced-able (phase_decomposed=True /
+            # ops.conv_transpose_k4s2_onegemm) and exactness-tested.
             from ..ops.spatial_fold import folded_conv_transpose_k4s2
 
-            # Small-batch big-spatial fold (measured 23.3 -> 21.8 ms at
-            # B=2 256ch @512->1024); returns None outside the win gate.
             y = folded_conv_transpose_k4s2(xc, kc)
             if y is None:
                 y = jax.lax.conv_transpose(
                     xc, kc, strides=(2, 2), padding=((2, 2), (2, 2)),
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    transpose_kernel=True,
                 )
         return y + bias.astype(y.dtype)
 
@@ -116,12 +124,12 @@ class CLIPCondUNet(nn.Module):
     # ResBlock.fused_pallas). Forced False under remat/training.
     fused_pallas: "str | bool" = "auto"
     # Upsamplers as phase-decomposed dense convs (identical math/params).
-    # Measured on chip (bench_profile.py): the decomposition LOSES on the
-    # full DDIM path (9.2 vs 11.5 img/s — the phase interleave adds a full
-    # memory pass; XLA's transposed conv is already phase-efficient in
-    # context), so the default stays False. Kept as an A/B-able op with an
-    # exactness test rather than deleted, per the keep-only-if-it-beats-XLA
-    # rule.
+    # Measured TWICE e2e (r2: 9.2 vs 11.5 img/s; r5 with a per-shape
+    # phase/one-GEMM auto-gate: 12.199 vs 12.393): the decomposed forms win
+    # IN-SCAN at Cin>=256 shapes (scripts/probe_upsampler.py, up to 2.3x)
+    # but lose in the full program, where the skip-concat -> conv consumer
+    # drives XLA to a different layout. Default stays False (direct/folded);
+    # kept as an A/B-able op with exactness tests.
     phase_decomposed_up: bool = False
 
     @nn.compact

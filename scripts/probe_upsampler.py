@@ -70,7 +70,10 @@ def scan_time(body, x0, extras=()):
 
 
 def main():
-    from clip_codec_tpu.ops.conv_transpose import conv_transpose_k4s2
+    from clip_codec_tpu.ops.conv_transpose import (
+        conv_transpose_k4s2,
+        conv_transpose_k4s2_onegemm,
+    )
     from clip_codec_tpu.ops.spatial_fold import folded_conv_transpose_k4s2
 
     key = jax.random.PRNGKey(0)
@@ -96,12 +99,15 @@ def main():
         def phase(c, kern, mix):
             return conv_transpose_k4s2(c, kern, None)
 
+        def onegemm(c, kern, mix):
+            return conv_transpose_k4s2_onegemm(c, kern, None)
+
         # correctness cross-check once per shape
         err = float(jnp.max(jnp.abs(
             direct(x, kern, mix).astype(jnp.float32) - phase(x, kern, mix).astype(jnp.float32))))
         ref_scale = float(jnp.max(jnp.abs(direct(x, kern, mix)))) or 1.0
 
-        rows = [("direct", direct), ("phase", phase)]
+        rows = [("direct", direct), ("phase", phase), ("onegemm", onegemm)]
         if folded_conv_transpose_k4s2(x, kern) is not None:
             rows.append(("folded", lambda c, kern, mix: folded_conv_transpose_k4s2(c, kern)))
         line = f"[convT {B}x{H}x{cin}->{cout}] err={err:.1e}/{ref_scale:.1f}"

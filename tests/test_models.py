@@ -162,6 +162,34 @@ def test_phase_decomposed_upsampler_equivalence(rng):
     np.testing.assert_allclose(ya, yb, rtol=1e-5, atol=1e-6)
 
 
+def test_conv_transpose_onegemm_exactness(rng):
+    """conv_transpose_k4s2_onegemm (one 2x2 conv, 4*Cout channels, shifted
+    output slices — the measured winner at Cin>=512 upsampler shapes,
+    scripts/probe_upsampler.py) is exact vs both the 4-conv phase form and
+    jax.lax.conv_transpose, including the >=512-channel auto-gate shape."""
+    import jax.numpy as jnp
+
+    from clip_codec_tpu.ops.conv_transpose import (
+        conv_transpose_k4s2,
+        conv_transpose_k4s2_onegemm,
+    )
+
+    for (B, H, W, ci, co) in [(2, 5, 7, 3, 4), (1, 8, 8, 512, 16), (3, 4, 6, 256, 5)]:
+        x = jnp.asarray(rng.standard_normal((B, H, W, ci)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((4, 4, co, ci)) * 0.1, jnp.float32)
+        b = jnp.asarray(rng.standard_normal((co,)), jnp.float32)
+        got = conv_transpose_k4s2_onegemm(x, k, b)
+        want_phase = conv_transpose_k4s2(x, k, b)
+        want_direct = jax.lax.conv_transpose(
+            x, k, strides=(2, 2), padding=((2, 2), (2, 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True,
+        ) + b
+        assert got.shape == (B, 2 * H, 2 * W, co)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want_phase))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want_direct), rtol=1e-5, atol=1e-5)
+
+
 def test_remat_exactness_and_grads():
     """remat=True (jax.checkpoint around ResBlocks) changes memory, not
     math: identical param tree, bit-equal forward, grads equal to
