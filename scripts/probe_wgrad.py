@@ -68,10 +68,15 @@ def conv(x, k, acc_dtype):
 
 
 def native_wgrad(x, dy, acc_dtype):
-    """XLA's choice for dL/dkernel of the 3x3 conv."""
-    _, vjp = jax.vjp(lambda k: conv(x, k, acc_dtype),
+    """XLA's choice for dL/dkernel of the 3x3 conv. The conv runs in pure
+    bf16 like the real model (flax casts both operands; the MXU accumulates
+    fp32 internally either way) — a non-DT ``preferred_element_type`` makes
+    the vjp's transpose-rule conv see mismatched operand dtypes and is NOT
+    what the train step lowers to, so acc_dtype only selects the final cast
+    of the returned gradient here."""
+    _, vjp = jax.vjp(lambda k: conv(x, k, DT),
                      jnp.zeros((3, 3, x.shape[-1], dy.shape[-1]), x.dtype))
-    return vjp(dy)[0]
+    return vjp(dy.astype(DT))[0].astype(acc_dtype)
 
 
 def tap_gemm_wgrad(x, dy, acc_dtype):
@@ -137,12 +142,16 @@ def main():
         # full fwd+bwd pair context (native only, fp32 accum): the number the
         # r4 attribution calls ~0.73 combined
         def pair_body(dyc, x, kern):
-            y, vjp = jax.vjp(lambda xx, kk: conv(xx, kk, jnp.float32), x, kern)
+            y, vjp = jax.vjp(lambda xx, kk: conv(xx, kk, DT), x, kern)
             dx, dk = vjp(dyc.astype(y.dtype))
             s = jnp.mean(dk.astype(jnp.float32)) + jnp.mean(dx.astype(jnp.float32))
             return dyc + (jnp.mean(y.astype(jnp.float32)) + s).astype(DT) * 1e-6
 
         s = scan_time(pair_body, dy, (x, kern))
+        # NOTE (measured): x/kern are loop-invariant, so XLA hoists the
+        # forward conv out of the scan — this row measures dgrad+wgrad only
+        # (the >100%-of-3x printout at B=8@256 is the tell). Divide by 2x
+        # math, not 3x, when reading it.
         print(f"[wgrad {B}x{H}x{Ci}->{Co}] fwd+dgrad+wgrad pair {s*1e3:7.3f} ms "
               f"({100*3*flops/s/PEAK:4.1f}% MFU of 3x-conv math)", flush=True)
 
